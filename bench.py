@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Headline benchmark: primary rays/s on the reference's bundled bvh
+stress scene (1920x1080, 4x4 spp, 141 shapes, full 11-level Whitted +
+shadow rays), on one TPU chip.
+
+Baseline: the reference C++ renderer compiled -O2 on this host, same
+scene and config (`-bvh`, default 4x4 spp), single thread: 53.75 s
+=> 617,378 primary rays/s (see BASELINE.md for the measurement log).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# Reference C++ measured on this host (BASELINE.md): 1920*1080*16 rays in
+# 53.754 s.
+REF_PRIMARY_RAYS_PER_S = 1920 * 1080 * 16 / 53.754
+
+
+def main():
+    import ray_tracying_tpu as rt
+
+    scene = rt.load_scene(os.path.join(REPO, "golden", "ASCII", "scene.json"))
+    opts = rt.RenderOptions(samples_sqrt=4, light_samples=1)
+    width, height = scene.camera.resolution
+    n_rays = width * height * opts.samples_sqrt**2
+
+    # Warmup / compile.
+    rt.render_image(scene, opts, key=jax.random.key(0))
+
+    trials = 2
+    t0 = time.time()
+    for i in range(trials):
+        rt.render_image(scene, opts, key=jax.random.key(i + 1))
+    dt = (time.time() - t0) / trials
+
+    rays_per_s = n_rays / dt
+    print(
+        json.dumps(
+            {
+                "metric": "primary rays/s, bvh scene 1920x1080 4x4spp, 1 chip",
+                "value": round(rays_per_s),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_s / REF_PRIMARY_RAYS_PER_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,31 +1,36 @@
 """Iterative wavefront Whitted integrator.
 
 The reference's recursive `Trace` (Code/raytracer.cpp:280-351) is a binary
-recursion (reflection + refraction children) to depth 11.  On TPU, the
-recursion is flattened into 11 bounce passes over a fixed-capacity ray
-queue:
+recursion (reflection + refraction children) to depth 11.  On TPU the
+recursion is flattened into 11 bounce passes under `lax.scan` (the body is
+shape-invariant, so XLA compiles ONE level and the recursion depth becomes
+a trip count).
 
-  - each queue slot carries (origin, direction, time, throughput, dest)
-    where dest is the primary-sample index radiance accumulates into and
-    throughput is the product of the scalar branch weights
-    (reflectivity / transparency) along the path;
-  - at each level: batched closest hit, background accumulation for
-    misses (0.1 gray, weighted by throughput), local Blinn-Phong + shadow
-    shading weighted by throughput * max(0, 1 - refl - trans)
-    (Code/raytracer.cpp:346-350), then up to two continuation rays per
-    slot compacted (cumsum scatter) into the next queue;
+Two queue disciplines, chosen statically from the scene:
+
+  IN-SLOT (branching factor 1 — no material both reflects and refracts):
+    each ray has at most one continuation, which overwrites its own queue
+    slot.  No compaction, no scatters: radiance accumulates elementwise
+    into accum[slot].  This is the fast path (the bundled bvh scene and
+    most scenes take it); masked-out lanes are cheap on the VPU, scatters
+    are not.
+
+  COMPACTED (some material reflects AND some refracts):
+    slots carry an explicit dest index; both children are emitted and
+    stream-compacted (cumsum scatter) into a queue of capacity
+    R * queue_mult; radiance scatter-adds by dest.  Overflow beyond
+    capacity is dropped in compaction order — a documented deviation that
+    only triggers on mirror+glass scenes deeper than log2(queue_mult)
+    simultaneous branchings.
+
+Level semantics (identical in both paths, all cited):
+  - miss -> background 0.1 gray weighted by path throughput
+    (Code/raytracer.cpp:296-298)
+  - local shading weighted by throughput * max(0, 1 - refl - trans)
+    (Code/raytracer.cpp:346-350)
   - children spawned at the depth-10 level are never traced: at depth 11
-    the reference returns black immediately (raytracer.cpp:290-292), so
-    their contribution is identically zero.
-
-Static scene facts (has_reflection / has_refraction / has_glossy) prune
-whole phases out of the compiled program.
-
-Queue capacity: R rays enter level 0.  When a scene can branch two ways
-(some material has reflectivity > 0 AND some material transparency > 0)
-the queue may grow; capacity is R * queue_mult with overflow dropped in
-compaction order (a documented deviation that only triggers on
-mirror+glass scenes deeper than log2(queue_mult) simultaneous branchings).
+    the reference returns black (raytracer.cpp:290-292), so their
+    contribution is identically zero.
 """
 
 from __future__ import annotations
@@ -39,17 +44,18 @@ from ray_tracying_tpu.core import constants as C
 from ray_tracying_tpu.core.sampling import uniform_in_unit_sphere
 from ray_tracying_tpu.core.vecmath import dot, normalize, reflect, refract
 from ray_tracying_tpu.render.intersect import closest_hit
+from ray_tracying_tpu.render.materials import gather_materials
 from ray_tracying_tpu.render.shade import shade
 from ray_tracying_tpu.scene.types import Scene
 
 
 class _Queue(NamedTuple):
-    o: jnp.ndarray      # (Cap, 3)
-    d: jnp.ndarray      # (Cap, 3)
-    time: jnp.ndarray   # (Cap,)
-    tp: jnp.ndarray     # (Cap,) scalar throughput
-    dest: jnp.ndarray   # (Cap,) int32 primary-sample index
-    active: jnp.ndarray # (Cap,) bool
+    o: jnp.ndarray       # (Cap, 3)
+    d: jnp.ndarray       # (Cap, 3)
+    time: jnp.ndarray    # (Cap,)
+    tp: jnp.ndarray      # (Cap,) scalar throughput
+    dest: jnp.ndarray    # (Cap,) int32 primary-sample index
+    active: jnp.ndarray  # (Cap,) bool
 
 
 def _compact(cands: _Queue, keep: jnp.ndarray, capacity: int) -> _Queue:
@@ -59,8 +65,8 @@ def _compact(cands: _Queue, keep: jnp.ndarray, capacity: int) -> _Queue:
     slot = jnp.where(keep, idx, capacity)  # out-of-range -> dropped
     count = jnp.minimum(jnp.sum(keep.astype(jnp.int32)), capacity)
 
-    def scat(arr, fill=0):
-        out = jnp.full((capacity,) + arr.shape[1:], fill, arr.dtype)
+    def scat(arr):
+        out = jnp.zeros((capacity,) + arr.shape[1:], arr.dtype)
         return out.at[slot].set(arr, mode="drop")
 
     return _Queue(
@@ -77,6 +83,42 @@ def _cat(queues) -> _Queue:
     return _Queue(*(jnp.concatenate(f, axis=0) for f in zip(*queues)))
 
 
+def _spawn_reflection(scene, q, hit, mrec, act, k_level, capacity):
+    """Reflection continuation (Code/raytracer.cpp:307-333)."""
+    rdir = reflect(q.d, hit.normal)
+    if scene.has_glossy:
+        # Glossy fuzz: normalize(R + roughness * unit_sphere); rays
+        # perturbed below the surface are absorbed (raytracer.cpp:312-327).
+        fuzz = uniform_in_unit_sphere(jax.random.fold_in(k_level, 1), (capacity,))
+        pert = normalize(rdir + mrec.roughness[:, None] * fuzz)
+        pert = jnp.where((dot(pert, hit.normal) < 0.0)[:, None], 0.0, pert)
+        rdir = jnp.where((mrec.roughness > 0.0)[:, None], pert, rdir)
+    ok = act & (mrec.reflectivity > 0.0) & (dot(rdir, rdir) > C.EPS_GLOSSY_DIR2)
+    return _Queue(
+        o=hit.point + hit.normal * C.EPS_NORMAL_OFFSET,
+        d=rdir,
+        # Secondary rays carry time = 0 (Ray default, Code/shapes.hpp:28).
+        time=jnp.zeros(capacity),
+        tp=q.tp * mrec.reflectivity,
+        dest=q.dest,
+        active=ok,
+    )
+
+
+def _spawn_refraction(scene, q, hit, mrec, act, capacity):
+    """Refraction continuation (Code/raytracer.cpp:335-344)."""
+    tdir, n_eff = refract(q.d, hit.normal, mrec.ior)
+    ok = act & (mrec.transparency > 0.0) & (dot(tdir, tdir) > C.EPS_REFRACT_DIR2)
+    return _Queue(
+        o=hit.point - n_eff * C.EPS_NORMAL_OFFSET,
+        d=tdir,
+        time=jnp.zeros(capacity),
+        tp=q.tp * mrec.transparency,
+        dest=q.dest,
+        active=ok,
+    )
+
+
 def trace_wavefront(
     scene: Scene,
     origins: jnp.ndarray,     # (R, 3)
@@ -88,11 +130,15 @@ def trace_wavefront(
 ) -> jnp.ndarray:
     """Trace R primary rays to completion.  Returns (R, 3) radiance."""
     r = origins.shape[0]
-    mats = scene.materials
     bg = jnp.asarray(C.BACKGROUND_RGB, jnp.float32)
 
-    branching = 2 if (scene.has_reflection and scene.has_refraction) else 1
-    capacity = r * queue_mult if branching == 2 else r
+    if scene.n_geoms == 0:
+        # Nothing can be hit: every ray takes the background path.
+        return jnp.broadcast_to(bg, (r, 3))
+
+    two_way = scene.has_reflection and scene.has_refraction
+    spawn = scene.has_reflection or scene.has_refraction
+    capacity = r * queue_mult if two_way else r
 
     accum = jnp.zeros((r, 3), jnp.float32)
     q = _Queue(
@@ -114,110 +160,52 @@ def trace_wavefront(
             active=jnp.concatenate([q.active, jnp.zeros(pad, bool)]),
         )
 
-    if scene.n_geoms == 0:
-        # Nothing can be hit: every ray takes the background path.
-        return jnp.broadcast_to(bg, (r, 3))
-
-    spawn_children = scene.has_reflection or scene.has_refraction
-
     def level_body(carry, depth):
-        """One Whitted bounce level.  Shape-invariant, so the 11 levels run
-        under lax.scan and XLA compiles the body ONCE (the reference's
-        recursion depth shows up as trip count, not program size)."""
         accum, q = carry
         k_level = jax.random.fold_in(key, depth)
-        hit = closest_hit(scene, q.o, q.d, q.time)
+        hit = closest_hit(scene, q.o, q.d, q.time, q.active)
         act = q.active & hit.valid
         missed = q.active & ~hit.valid
 
-        # Background for misses (Code/raytracer.cpp:296-298).
-        w_miss = jnp.where(missed, q.tp, 0.0)
-        accum = accum.at[jnp.where(missed, q.dest, r)].add(
-            w_miss[:, None] * bg, mode="drop"
+        mrec = gather_materials(scene, hit.geom_id)
+        local = shade(
+            scene, hit, q.o, jax.random.fold_in(k_level, 0), light_samples,
+            mrec, act
         )
+        local_w = jnp.maximum(0.0, 1.0 - mrec.reflectivity - mrec.transparency)
+        w_miss = jnp.where(missed, q.tp, 0.0)[:, None]
+        w_local = jnp.where(act, q.tp * local_w, 0.0)[:, None]
+        contrib = w_miss * bg + w_local * jnp.where(act[:, None], local, 0.0)
 
-        # Local shading, weighted by max(0, 1 - refl - trans)
-        # (Code/raytracer.cpp:346-350).
-        local = shade(scene, hit, q.o, jax.random.fold_in(k_level, 0), light_samples)
-        gid = jnp.clip(hit.geom_id, 0, max(scene.n_geoms - 1, 0))
-        refl = mats.reflectivity[gid]
-        trans = mats.transparency[gid]
-        local_w = jnp.maximum(0.0, 1.0 - refl - trans)
-        w_local = jnp.where(act, q.tp * local_w, 0.0)
-        accum = accum.at[jnp.where(act, q.dest, r)].add(
-            w_local[:, None] * jnp.where(act[:, None], local, 0.0), mode="drop"
-        )
+        if two_way:
+            accum = accum.at[jnp.where(q.active, q.dest, r)].add(
+                contrib, mode="drop"
+            )
+        else:
+            # In-slot accumulation: dest is identically arange(r).
+            accum = accum + contrib
 
-        if not spawn_children:
+        if not spawn:
             return (accum, q), None
 
-        children = []
-        if scene.has_reflection:
-            rdir = reflect(q.d, hit.normal)
-            if scene.has_glossy:
-                # Glossy fuzz: normalize(R + roughness * unit_sphere), rays
-                # perturbed below the surface are absorbed
-                # (Code/raytracer.cpp:312-327).
-                rough = mats.roughness[gid]
-                fuzz = uniform_in_unit_sphere(
-                    jax.random.fold_in(k_level, 1), (capacity,)
-                )
-                pert = normalize(rdir + rough[:, None] * fuzz)
-                pert = jnp.where(
-                    (dot(pert, hit.normal) < 0.0)[:, None], 0.0, pert
-                )
-                rdir = jnp.where((rough > 0.0)[:, None], pert, rdir)
-            ok_r = act & (refl > 0.0) & (dot(rdir, rdir) > C.EPS_GLOSSY_DIR2)
-            children.append(
-                (
-                    _Queue(
-                        o=hit.point + hit.normal * C.EPS_NORMAL_OFFSET,
-                        d=rdir,
-                        # Secondary rays carry time = 0 (Ray default,
-                        # Code/shapes.hpp:28).
-                        time=jnp.zeros(capacity),
-                        tp=q.tp * refl,
-                        dest=q.dest,
-                        active=ok_r,
-                    ),
-                    ok_r,
-                )
-            )
-        if scene.has_refraction:
-            tdir, n_eff = refract(q.d, hit.normal, mats.ior[gid])
-            ok_t = act & (trans > 0.0) & (dot(tdir, tdir) > C.EPS_REFRACT_DIR2)
-            children.append(
-                (
-                    _Queue(
-                        o=hit.point - n_eff * C.EPS_NORMAL_OFFSET,
-                        d=tdir,
-                        time=jnp.zeros(capacity),
-                        tp=q.tp * trans,
-                        dest=q.dest,
-                        active=ok_t,
-                    ),
-                    ok_t,
-                )
-            )
-
-        cand = _cat([c for c, _ in children]) if len(children) > 1 else children[0][0]
-        keep = (
-            jnp.concatenate([m for _, m in children])
-            if len(children) > 1
-            else children[0][1]
-        )
-        q = _compact(cand, keep, capacity)
+        if two_way:
+            c_refl = _spawn_reflection(scene, q, hit, mrec, act, k_level, capacity)
+            c_refr = _spawn_refraction(scene, q, hit, mrec, act, capacity)
+            cand = _cat([c_refl, c_refr])
+            q = _compact(cand, cand.active, capacity)
+        elif scene.has_reflection:
+            q = _spawn_reflection(scene, q, hit, mrec, act, k_level, capacity)
+        else:
+            q = _spawn_refraction(scene, q, hit, mrec, act, capacity)
         return (accum, q), None
 
-    if not spawn_children:
-        # Purely local scene: one level suffices (children would all be
-        # inactive anyway).
+    if not spawn:
+        # Purely local scene: one level suffices.
         (accum, _), _ = level_body((accum, q), jnp.int32(0))
         return accum
 
     # 11 levels (depth 0..10); children spawned by the last iteration are
-    # never consumed, which reproduces "depth > 10 -> black"
-    # (Code/raytracer.cpp:290-292) since an untraced child contributes 0.
+    # never consumed, reproducing "depth > 10 -> black".
     (accum, _), _ = jax.lax.scan(
         level_body,
         (accum, q),

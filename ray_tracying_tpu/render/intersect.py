@@ -23,16 +23,30 @@ set (SURVEY.md §2 quirk 15) and lives in accel/.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ray_tracying_tpu.core import constants as C
+from ray_tracying_tpu.core.gather import onehot_gather
 from ray_tracying_tpu.core.transforms import apply_normal, apply_point, apply_vector
 from ray_tracying_tpu.core.vecmath import cross, dot, normalize
 from ray_tracying_tpu.scene.types import KIND_CUBE, KIND_RECT, KIND_SPHERE, Scene
 
 _INF = jnp.float32(jnp.inf)
+
+
+def _use_pallas() -> bool:
+    """Pallas kernels need a real TPU backend (the jnp path is the
+    fallback and the semantics oracle on CPU)."""
+    if os.environ.get("RTT_DISABLE_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:  # pragma: no cover
+        return False
 
 
 class Hit(NamedTuple):
@@ -209,12 +223,20 @@ def all_hit_t(scene: Scene, o, d, time) -> jnp.ndarray:
     return jnp.concatenate(parts, axis=1)
 
 
-def min_hit_t(scene: Scene, o, d, time) -> jnp.ndarray:
+def min_hit_t(scene: Scene, o, d, time, active=None) -> jnp.ndarray:
     """Closest hit distance per ray, +inf on miss.  This is all shadow
-    visibility needs (visible iff min_t > light_dist, Code/raytracer.cpp:233)."""
-    tm = all_hit_t(scene, o, d, time)
-    if tm.shape[1] == 0:
+    visibility needs (visible iff min_t > light_dist, Code/raytracer.cpp:233).
+
+    active: optional (R,) bool mask letting the Pallas kernel skip
+    dead ray blocks (inactive rays report miss)."""
+    if scene.n_geoms == 0:
         return jnp.full(o.shape[:1], _INF)
+    if _use_pallas():
+        from ray_tracying_tpu.kernels.closest_hit import closest_hit_tid
+
+        t, _ = closest_hit_tid(scene, o, d, time, active)
+        return t
+    tm = all_hit_t(scene, o, d, time)
     return jnp.min(tm, axis=1)
 
 
@@ -225,11 +247,24 @@ def min_hit_t(scene: Scene, o, d, time) -> jnp.ndarray:
 def _prim_attributes(scene: Scene, pid, o, d, time):
     """Reconstruct hit attributes for transformed prims.  pid: (R,) int32
     clipped to valid range; returns per-field (R, ...) plus recomputed
-    validity-t (callers rely on the pass-1 winner, not this t)."""
-    w2o = scene.prims.w2o[pid]          # (R, 3, 4)
-    o2w = scene.prims.o2w[pid]
-    vel = scene.prims.velocity[pid]
-    kind = scene.prims.kind[pid]
+    validity-t (callers rely on the pass-1 winner, not this t).
+
+    Per-ray primitive records are fetched with one-hot matmuls — a plain
+    table[pid] row gather serializes on TPU and dominated this pass."""
+    packed = jnp.concatenate(
+        [
+            scene.prims.w2o.reshape(-1, 12),
+            scene.prims.o2w.reshape(-1, 12),
+            scene.prims.velocity,
+            scene.prims.kind[:, None].astype(jnp.float32),
+        ],
+        axis=1,
+    )  # (P, 28)
+    rec = onehot_gather(packed, pid)
+    w2o = rec[:, 0:12].reshape(-1, 3, 4)
+    o2w = rec[:, 12:24].reshape(-1, 3, 4)
+    vel = rec[:, 24:27]
+    kind = jnp.round(rec[:, 27]).astype(jnp.int32)
 
     o_shift = o - vel * time[:, None]
     o_loc = apply_point(w2o, o_shift)
@@ -251,7 +286,12 @@ def _prim_attributes(scene: Scene, pid, o, d, time):
     # Normal comes from the ENTRY face even when the exit t is used
     # (the reference never updates hit_axis for t_far, Code/shapes.cpp:392-402).
     axis = jnp.argmax(t_entry, axis=-1)
-    sign = jnp.take_along_axis(entry_sign, axis[..., None], axis=-1)[..., 0]
+    # Select-by-axis instead of take_along_axis (TPU gather avoidance).
+    sign = jnp.where(
+        axis == 0,
+        entry_sign[..., 0],
+        jnp.where(axis == 1, entry_sign[..., 1], entry_sign[..., 2]),
+    )
     n_cub = jnp.zeros_like(p_cub).at[..., 0].set(
         jnp.where(axis == 0, sign, 0.0)
     )
@@ -295,7 +335,7 @@ def _prim_attributes(scene: Scene, pid, o, d, time):
 
 def _plane_attributes(scene: Scene, qid, o, d):
     """Legacy plane attribute reconstruction (Code/shapes.cpp:444-482)."""
-    corners = scene.planes.corners[qid]  # (R, 4, 3)
+    corners = onehot_gather(scene.planes.corners, qid)  # (R, 4, 3)
     n, _ = _plane_geometry(corners)
     denom = dot(n, d)
     safe = jnp.where(jnp.abs(denom) < C.EPS_PARALLEL, 1.0, denom)
@@ -309,9 +349,13 @@ def _plane_attributes(scene: Scene, qid, o, d):
     return p, n, u, v, t
 
 
-def closest_hit(scene: Scene, o, d, time) -> Hit:
-    """Full closest-hit: pass-1 argmin then pass-2 attribute rebuild."""
-    tm = all_hit_t(scene, o, d, time)
+def closest_hit(scene: Scene, o, d, time, active=None) -> Hit:
+    """Full closest-hit: pass-1 winner search then pass-2 attribute rebuild.
+
+    Pass 1 runs as the Pallas megakernel on TPU (kernels/closest_hit.py) or
+    the dense jnp reduction elsewhere; both produce identical winners.
+    Pass 2 is pure differentiable jnp either way (gradients flow to scene
+    parameters with the hit id held fixed)."""
     n_geoms = scene.n_geoms
     if n_geoms == 0:
         r = o.shape[0]
@@ -323,9 +367,17 @@ def closest_hit(scene: Scene, o, d, time) -> Hit:
             normal=jnp.zeros((r, 3)),
             uv=jnp.zeros((r, 2)),
         )
-    gid = jnp.argmin(tm, axis=1).astype(jnp.int32)
-    t_min = jnp.take_along_axis(tm, gid[:, None], axis=1)[:, 0]
-    valid = jnp.isfinite(t_min)
+    if _use_pallas():
+        from ray_tracying_tpu.kernels.closest_hit import closest_hit_tid
+
+        t_min, gid = closest_hit_tid(scene, o, d, time, active)
+        valid = jnp.isfinite(t_min)
+        gid = jnp.maximum(gid, 0)
+    else:
+        tm = all_hit_t(scene, o, d, time)
+        gid = jnp.argmin(tm, axis=1).astype(jnp.int32)
+        t_min = jnp.min(tm, axis=1)  # second fused reduction beats a gather
+        valid = jnp.isfinite(t_min)
 
     if scene.n_prims and scene.n_planes:
         pid = jnp.clip(gid, 0, scene.n_prims - 1)

@@ -25,6 +25,7 @@ from ray_tracying_tpu.core import constants as C
 from ray_tracying_tpu.core.sampling import uniform_in_unit_sphere
 from ray_tracying_tpu.core.vecmath import dot, normalize
 from ray_tracying_tpu.render.intersect import Hit, min_hit_t
+from ray_tracying_tpu.render.materials import MatRec, gather_materials
 from ray_tracying_tpu.scene.types import Scene
 
 
@@ -40,14 +41,12 @@ def safe_pow(base: jnp.ndarray, exp: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(base > 0.0, safe, 0.0)
 
 
-def sample_diffuse_color(scene: Scene, geom_id: jnp.ndarray, uv: jnp.ndarray):
+def sample_diffuse_color(scene: Scene, mrec: MatRec, uv: jnp.ndarray):
     """Per-ray textured diffuse color (Code/material.hpp:99-134)."""
-    mats = scene.materials
-    gid = jnp.clip(geom_id, 0, scene.n_geoms - 1)
-    base = mats.diffuse[gid]
+    base = mrec.diffuse
     if not scene.has_textures:
         return base
-    tid = mats.tex_id[gid]
+    tid = mrec.tex_id
     tid_safe = jnp.maximum(tid, 0)
     wh = scene.tex_wh[tid_safe]  # (R, 2) = (w, h)
     w = wh[:, 0].astype(jnp.float32)
@@ -66,15 +65,19 @@ def shade(
     view_origin: jnp.ndarray,
     key: jax.Array,
     light_samples: int,
+    mrec: MatRec | None = None,
+    active=None,
 ) -> jnp.ndarray:
     """Local color for each hit ray.  view_origin: (R, 3) ray origins
     (the reference builds V from the ray ORIGIN, not -direction, :197).
-    Returns (R, 3); garbage where hit.valid is False (callers mask)."""
-    mats = scene.materials
-    gid = jnp.clip(hit.geom_id, 0, max(scene.n_geoms - 1, 0))
-    base_diffuse = sample_diffuse_color(scene, hit.geom_id, hit.uv)
+    active: optional (R,) mask forwarded to the shadow kernel for
+    dead-block skipping.  Returns (R, 3); garbage where hit.valid is
+    False (callers mask)."""
+    if mrec is None:
+        mrec = gather_materials(scene, hit.geom_id)
+    base_diffuse = sample_diffuse_color(scene, mrec, hit.uv)
 
-    final = base_diffuse * mats.k_ambient[gid][:, None]
+    final = base_diffuse * mrec.k_ambient[:, None]
     v_dir = normalize(view_origin - hit.point)
     n = hit.normal
     p = hit.point
@@ -102,9 +105,14 @@ def shade(
         l_dir = normalize(lv)
         so = jnp.broadcast_to(shadow_o[:, None, :], (r, s, 3)).reshape(r * s, 3)
         sd = l_dir.reshape(r * s, 3)
+        s_act = (
+            None
+            if active is None
+            else jnp.broadcast_to(active[:, None], (r, s)).reshape(r * s)
+        )
         # Shadow rays carry time = 0 (Ray default member init,
         # Code/shapes.hpp:28) — motion blur does NOT apply to them.
-        t_min = min_hit_t(scene, so, sd, jnp.zeros(r * s)).reshape(r, s)
+        t_min = min_hit_t(scene, so, sd, jnp.zeros(r * s), s_act).reshape(r, s)
         visible = t_min > l_dist                        # miss -> inf -> True
         visibility = jnp.mean(visible.astype(jnp.float32), axis=1)  # (R,)
 
@@ -117,8 +125,8 @@ def shade(
         diffuse = base_diffuse * n_dot_l[:, None]
         h_vec = normalize(l_c + v_dir)
         n_dot_h = jnp.maximum(0.0, dot(n, h_vec))
-        spec_i = safe_pow(n_dot_h, mats.shininess[gid])
-        specular = mats.specular[gid] * spec_i[:, None]
+        spec_i = safe_pow(n_dot_h, mrec.shininess)
+        specular = mrec.specular * spec_i[:, None]
         atten = (
             C.ATTEN_NUM * l_intensity
             / (C.ATTEN_C0 + C.ATTEN_C1 * l_distance + C.ATTEN_C2 * dist_sq)
@@ -126,8 +134,8 @@ def shade(
         contribution = (
             l_color
             * (
-                diffuse * mats.k_diffuse[gid][:, None]
-                + specular * mats.k_specular[gid][:, None]
+                diffuse * mrec.k_diffuse[:, None]
+                + specular * mrec.k_specular[:, None]
             )
             * atten[:, None]
         )
