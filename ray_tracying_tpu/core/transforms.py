@@ -91,5 +91,7 @@ def apply_normal(w2o: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
         + w2o[..., 1, :3] * n[..., 1:2]
         + w2o[..., 2, :3] * n[..., 2:3]
     )
-    mag = jnp.sqrt(jnp.sum(res * res, axis=-1, keepdims=True))
-    return jnp.where(mag > 1e-6, res / jnp.where(mag > 1e-6, mag, 1.0), res)
+    mag2 = jnp.sum(res * res, axis=-1, keepdims=True)
+    # Double-where keeps the gradient finite at mag 0 (see vecmath.safe_sqrt).
+    mag = jnp.sqrt(jnp.where(mag2 > 0.0, mag2, 1.0))
+    return jnp.where(mag2 > 1e-12, res / jnp.where(mag2 > 0.0, mag, 1.0), res)

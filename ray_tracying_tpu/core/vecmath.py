@@ -10,19 +10,51 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+import jax
+
+
 def dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Batched dot product; keeps no trailing axis."""
     return jnp.sum(a * b, axis=-1)
 
 
+def safe_sqrt(x: jnp.ndarray) -> jnp.ndarray:
+    """sqrt with forward value sqrt(max(x,0)) and zero gradient at x <= 0.
+
+    Bare jnp.sqrt has derivative inf at 0; a zero cotangent times that inf
+    is NaN, which poisons every scene-parameter gradient in diff/ (masked
+    slots routinely hold zero vectors)."""
+    x_safe = jnp.where(x > 0.0, x, 1.0)
+    return jnp.where(x > 0.0, jnp.sqrt(x_safe), 0.0)
+
+
 def norm(v: jnp.ndarray) -> jnp.ndarray:
-    return jnp.sqrt(dot(v, v))
+    return safe_sqrt(dot(v, v))
 
 
 def normalize(v: jnp.ndarray) -> jnp.ndarray:
-    """Safe normalize: zero vectors map to zero (reference VecMath::normalize)."""
-    mag = norm(v)[..., None]
-    return jnp.where(mag > 0.0, v / jnp.where(mag > 0.0, mag, 1.0), 0.0)
+    """Safe normalize: zero vectors map to zero (reference VecMath::normalize),
+    with a well-defined (zero) gradient there."""
+    mag2 = dot(v, v)[..., None]
+    mag = jnp.sqrt(jnp.where(mag2 > 0.0, mag2, 1.0))
+    return jnp.where(mag2 > 0.0, v / mag, 0.0)
+
+
+@jax.custom_jvp
+def safe_arcsin(x: jnp.ndarray) -> jnp.ndarray:
+    """arcsin with exact forward value but derivative clamped at |x|=1
+    (bare arcsin has an infinite derivative there — pole hits on spheres
+    would NaN the texture-uv gradient)."""
+    return jnp.arcsin(x)
+
+
+@safe_arcsin.defjvp
+def _safe_arcsin_jvp(primals, tangents):
+    (x,) = primals
+    (xd,) = tangents
+    y = jnp.arcsin(x)
+    dydx = 1.0 / jnp.sqrt(jnp.maximum(1.0 - x * x, 1e-12))
+    return y, xd * dydx
 
 
 def cross(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -32,7 +32,9 @@ import jax.numpy as jnp
 from ray_tracying_tpu.core import constants as C
 from ray_tracying_tpu.core.gather import onehot_gather
 from ray_tracying_tpu.core.transforms import apply_normal, apply_point, apply_vector
-from ray_tracying_tpu.core.vecmath import cross, dot, normalize
+from ray_tracying_tpu.core.vecmath import (
+    cross, dot, normalize, safe_arcsin, safe_sqrt,
+)
 from ray_tracying_tpu.scene.types import KIND_CUBE, KIND_RECT, KIND_SPHERE, Scene
 
 _INF = jnp.float32(jnp.inf)
@@ -72,7 +74,7 @@ def _sphere_t(o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
     b = 2.0 * dot(o, d)
     c = dot(o, o) - 1.0
     disc = b * b - 4.0 * a * c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sq = safe_sqrt(disc)  # grad-safe at the disc<=0 (miss) boundary
     # a == 0 only for degenerate (masked-out) rays; guard the division so
     # NaNs never enter the min/argmin reduction.
     a_safe = jnp.where(a > 0.0, a, 1.0)
@@ -272,16 +274,17 @@ def _prim_attributes(scene: Scene, pid, o, d, time):
 
     # --- sphere ---
     t_sph = _sphere_t(o_loc, d_loc)
+    t_sph = jnp.where(jnp.isfinite(t_sph), t_sph, 0.0)  # grad-safe miss
     p_sph = o_loc + t_sph[..., None] * d_loc
     n_sph = p_sph
     pi = jnp.float32(3.1415926535)
     u_sph = 0.5 + jnp.arctan2(p_sph[..., 2], p_sph[..., 0]) / (2.0 * pi)
-    v_sph = 0.5 - jnp.arcsin(jnp.clip(p_sph[..., 1], -1.0, 1.0)) / pi
+    v_sph = 0.5 - safe_arcsin(jnp.clip(p_sph[..., 1], -1.0, 1.0)) / pi
 
     # --- cube ---
     t_near, t_far, t_entry, entry_sign, miss = _cube_slabs(o_loc, d_loc)
     t_cub = jnp.where(t_near > 0.0, t_near, t_far)
-    t_cub = jnp.where(miss | (t_cub < 0.0), _INF, t_cub)
+    t_cub = jnp.where(miss | (t_cub < 0.0) | ~jnp.isfinite(t_cub), 0.0, t_cub)
     p_cub = o_loc + t_cub[..., None] * d_loc
     # Normal comes from the ENTRY face even when the exit t is used
     # (the reference never updates hit_axis for t_far, Code/shapes.cpp:392-402).
@@ -311,6 +314,7 @@ def _prim_attributes(scene: Scene, pid, o, d, time):
 
     # --- rect ---
     t_rec = _rect_t(o_loc, d_loc)
+    t_rec = jnp.where(jnp.isfinite(t_rec), t_rec, 0.0)  # grad-safe miss
     p_rec = o_loc + t_rec[..., None] * d_loc
     p_rec = p_rec.at[..., 2].set(0.0)
     n_rec = jnp.zeros_like(p_rec).at[..., 2].set(1.0)
@@ -328,8 +332,8 @@ def _prim_attributes(scene: Scene, pid, o, d, time):
     point = apply_point(o2w, p_loc) + vel * time[:, None]
     normal = apply_normal(w2o, n_loc)
     # Reference recomputes t as the Euclidean distance from the true origin
-    # (Code/shapes.cpp:251-253).
-    t = jnp.sqrt(dot(point - o, point - o))
+    # (Code/shapes.cpp:251-253).  safe_sqrt: masked slots can have point==o.
+    t = safe_sqrt(dot(point - o, point - o))
     return point, normal, u, v, t
 
 

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ray_tracying_tpu.core import constants as C
 from ray_tracying_tpu.core.sampling import uniform_in_unit_sphere
-from ray_tracying_tpu.core.vecmath import dot, normalize
+from ray_tracying_tpu.core.vecmath import dot, normalize, safe_sqrt
 from ray_tracying_tpu.render.intersect import Hit, min_hit_t
 from ray_tracying_tpu.render.materials import MatRec, gather_materials
 from ray_tracying_tpu.scene.types import Scene
@@ -101,7 +101,7 @@ def shade(
             targets = jnp.broadcast_to(l_pos, (r, s, 3))
 
         lv = targets - p[:, None, :]                    # (R, S, 3)
-        l_dist = jnp.sqrt(dot(lv, lv))                  # (R, S)
+        l_dist = safe_sqrt(dot(lv, lv))                 # (R, S)
         l_dir = normalize(lv)
         so = jnp.broadcast_to(shadow_o[:, None, :], (r, s, 3)).reshape(r * s, 3)
         sd = l_dir.reshape(r * s, 3)
@@ -119,7 +119,7 @@ def shade(
         # Blinn-Phong from the light center (:244-259).
         lv_c = l_pos - p
         dist_sq = dot(lv_c, lv_c)
-        l_distance = jnp.sqrt(dist_sq)
+        l_distance = safe_sqrt(dist_sq)
         l_c = normalize(lv_c)
         n_dot_l = jnp.maximum(0.0, dot(n, l_c))
         diffuse = base_diffuse * n_dot_l[:, None]
