@@ -1,0 +1,1 @@
+from ray_tracying_tpu.cli.main import main, parse_args

@@ -127,8 +127,12 @@ def trace_wavefront(
     key: jax.Array,
     light_samples: int,
     queue_mult: int = 2,
+    use_bvh: bool = False,
 ) -> jnp.ndarray:
-    """Trace R primary rays to completion.  Returns (R, 3) radiance."""
+    """Trace R primary rays to completion.  Returns (R, 3) radiance.
+
+    use_bvh routes closest-hit through the LBVH traversal kernel (same
+    image; mirrors the reference -bvh flag, Code/raytracer.cpp:369)."""
     r = origins.shape[0]
     bg = jnp.asarray(C.BACKGROUND_RGB, jnp.float32)
 
@@ -163,14 +167,14 @@ def trace_wavefront(
     def level_body(carry, depth):
         accum, q = carry
         k_level = jax.random.fold_in(key, depth)
-        hit = closest_hit(scene, q.o, q.d, q.time, q.active)
+        hit = closest_hit(scene, q.o, q.d, q.time, q.active, use_bvh)
         act = q.active & hit.valid
         missed = q.active & ~hit.valid
 
         mrec = gather_materials(scene, hit.geom_id)
         local = shade(
             scene, hit, q.o, jax.random.fold_in(k_level, 0), light_samples,
-            mrec, act
+            mrec, act, use_bvh
         )
         local_w = jnp.maximum(0.0, 1.0 - mrec.reflectivity - mrec.transparency)
         w_miss = jnp.where(missed, q.tp, 0.0)[:, None]

@@ -37,14 +37,19 @@ from ray_tracying_tpu.core.vecmath import (
 )
 from ray_tracying_tpu.scene.types import KIND_CUBE, KIND_RECT, KIND_SPHERE, Scene
 
-_INF = jnp.float32(jnp.inf)
+# Python float, not jnp scalar: a module-level jnp constant would allocate
+# on (and force init of) the default backend at import time.
+_INF = float("inf")
 
 
 def _use_pallas() -> bool:
     """Pallas kernels need a real TPU backend (the jnp path is the
-    fallback and the semantics oracle on CPU)."""
+    fallback and the semantics oracle on CPU).  RTT_PALLAS_INTERPRET=1
+    forces the kernels on in interpreter mode for CPU testing."""
     if os.environ.get("RTT_DISABLE_PALLAS"):
         return False
+    if os.environ.get("RTT_PALLAS_INTERPRET") == "1":
+        return True
     try:
         return jax.default_backend() not in ("cpu", "gpu")
     except Exception:  # pragma: no cover
@@ -225,19 +230,27 @@ def all_hit_t(scene: Scene, o, d, time) -> jnp.ndarray:
     return jnp.concatenate(parts, axis=1)
 
 
-def min_hit_t(scene: Scene, o, d, time, active=None) -> jnp.ndarray:
+def min_hit_t(scene: Scene, o, d, time, active=None, use_bvh=False) -> jnp.ndarray:
     """Closest hit distance per ray, +inf on miss.  This is all shadow
     visibility needs (visible iff min_t > light_dist, Code/raytracer.cpp:233).
 
     active: optional (R,) bool mask letting the Pallas kernel skip
-    dead ray blocks (inactive rays report miss)."""
+    dead ray blocks (inactive rays report miss).  use_bvh selects the
+    LBVH traversal kernel (identical hit set; requires accel.with_bvh)."""
     if scene.n_geoms == 0:
         return jnp.full(o.shape[:1], _INF)
     if _use_pallas():
+        if use_bvh and scene.bvh_geoms is not None:
+            from ray_tracying_tpu.kernels.bvh_traverse import closest_hit_tid_bvh
+
+            t, _ = closest_hit_tid_bvh(scene, o, d, time, active)
+            return t
         from ray_tracying_tpu.kernels.closest_hit import closest_hit_tid
 
         t, _ = closest_hit_tid(scene, o, d, time, active)
         return t
+    # jnp fallback: linear brute force -- same hit set as the BVH
+    # (Code/acceleration.cpp:124-151 dispatch; SURVEY.md §2 quirk 15).
     tm = all_hit_t(scene, o, d, time)
     return jnp.min(tm, axis=1)
 
@@ -353,7 +366,7 @@ def _plane_attributes(scene: Scene, qid, o, d):
     return p, n, u, v, t
 
 
-def closest_hit(scene: Scene, o, d, time, active=None) -> Hit:
+def closest_hit(scene: Scene, o, d, time, active=None, use_bvh=False) -> Hit:
     """Full closest-hit: pass-1 winner search then pass-2 attribute rebuild.
 
     Pass 1 runs as the Pallas megakernel on TPU (kernels/closest_hit.py) or
@@ -372,9 +385,14 @@ def closest_hit(scene: Scene, o, d, time, active=None) -> Hit:
             uv=jnp.zeros((r, 2)),
         )
     if _use_pallas():
-        from ray_tracying_tpu.kernels.closest_hit import closest_hit_tid
+        if use_bvh and scene.bvh_geoms is not None:
+            from ray_tracying_tpu.kernels.bvh_traverse import closest_hit_tid_bvh
 
-        t_min, gid = closest_hit_tid(scene, o, d, time, active)
+            t_min, gid = closest_hit_tid_bvh(scene, o, d, time, active)
+        else:
+            from ray_tracying_tpu.kernels.closest_hit import closest_hit_tid
+
+            t_min, gid = closest_hit_tid(scene, o, d, time, active)
         valid = jnp.isfinite(t_min)
         gid = jnp.maximum(gid, 0)
     else:

@@ -37,7 +37,10 @@ class RenderOptions:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("rows", "width", "samples_sqrt", "light_samples", "queue_mult"),
+    static_argnames=(
+        "rows", "width", "samples_sqrt", "light_samples", "queue_mult",
+        "use_bvh",
+    ),
 )
 def _render_tile(
     scene: Scene,
@@ -48,6 +51,7 @@ def _render_tile(
     samples_sqrt: int,
     light_samples: int,
     queue_mult: int,
+    use_bvh: bool = False,
 ):
     """Render a (rows, width) tile -> (rows, width, 3) linear radiance."""
     spp = samples_sqrt * samples_sqrt if samples_sqrt > 1 else 1
@@ -85,7 +89,7 @@ def _render_tile(
     times = jax.random.uniform(k_time, px.shape, jnp.float32)
 
     colors = trace_wavefront(
-        scene, o, d, times, k_trace, light_samples, queue_mult
+        scene, o, d, times, k_trace, light_samples, queue_mult, use_bvh
     )  # (R, 3)
     return jnp.mean(colors.reshape(rows, width, spp, 3), axis=2)
 
@@ -99,6 +103,10 @@ def render_image(
     opts = opts or RenderOptions()
     if key is None:
         key = jax.random.key(0)
+    if opts.use_bvh and scene.bvh_geoms is None:
+        from ray_tracying_tpu.accel.lbvh import with_bvh
+
+        scene = with_bvh(scene)
     width, height = scene.camera.resolution
     spp = opts.samples_sqrt * opts.samples_sqrt if opts.samples_sqrt > 1 else 1
     rows = max(1, min(height, opts.max_rays_per_pass // max(1, width * spp)))
@@ -117,6 +125,7 @@ def render_image(
             opts.samples_sqrt,
             opts.light_samples,
             opts.queue_mult,
+            opts.use_bvh,
         )
         take = min(rows, height - y0)
         out[y0 : y0 + take] = np.asarray(tile)[:take]

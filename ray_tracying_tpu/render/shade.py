@@ -67,6 +67,7 @@ def shade(
     light_samples: int,
     mrec: MatRec | None = None,
     active=None,
+    use_bvh: bool = False,
 ) -> jnp.ndarray:
     """Local color for each hit ray.  view_origin: (R, 3) ray origins
     (the reference builds V from the ray ORIGIN, not -direction, :197).
@@ -112,7 +113,9 @@ def shade(
         )
         # Shadow rays carry time = 0 (Ray default member init,
         # Code/shapes.hpp:28) — motion blur does NOT apply to them.
-        t_min = min_hit_t(scene, so, sd, jnp.zeros(r * s), s_act).reshape(r, s)
+        t_min = min_hit_t(
+            scene, so, sd, jnp.zeros(r * s), s_act, use_bvh
+        ).reshape(r, s)
         visible = t_min > l_dist                        # miss -> inf -> True
         visibility = jnp.mean(visible.astype(jnp.float32), axis=1)  # (R,)
 

@@ -358,6 +358,9 @@ def load_scene_dict(data: dict, textures_dir: Optional[str] = None) -> Scene:
         has_glossy=bool(((refl > 0) & (rough > 0)).any()),
         has_motion=bool((np.abs(vel) > 0).any()),
         has_textures=has_textures,
+        has_spheres=KIND_SPHERE in kinds,
+        has_cubes=KIND_CUBE in kinds,
+        has_rects=KIND_RECT in kinds,
     )
 
 

@@ -114,6 +114,14 @@ class Scene:
     has_glossy: bool = struct.field(pytree_node=False, default=False)
     has_motion: bool = struct.field(pytree_node=False, default=False)
     has_textures: bool = struct.field(pytree_node=False, default=False)
+    # Which primitive kinds exist — lets kernels drop dead per-kind math.
+    has_spheres: bool = struct.field(pytree_node=False, default=False)
+    has_cubes: bool = struct.field(pytree_node=False, default=False)
+    has_rects: bool = struct.field(pytree_node=False, default=False)
+    # LBVH arrays (None until accel.with_bvh attaches them).
+    bvh_nodes_box: Optional[jnp.ndarray] = None    # (M, 6) min xyz | max xyz
+    bvh_nodes_topo: Optional[jnp.ndarray] = None   # (M, 4) int32 left right first count
+    bvh_geoms: Optional[jnp.ndarray] = None        # (G, 17) reordered geom table
 
     @property
     def n_geoms(self) -> int:
