@@ -42,7 +42,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ray_tracying_tpu.core import constants as C
-from ray_tracying_tpu.kernels.geom_table import pack_geom_table
+from ray_tracying_tpu.kernels.geom_table import (
+    pack_geom_table_sorted,
+)
 from ray_tracying_tpu.scene.types import Scene
 
 BLOCK_R = 1024
@@ -75,13 +77,15 @@ class RayBlock:
         )
 
 
-def geom_step(g, carry, table_ref, rb: RayBlock, spec, enable=None):
-    """Test geom-table row g against the ray block; update (best_t, best_id).
+def geom_t(g, table_ref, rb: RayBlock, spec):
+    """Hit distance of geom-table row g against the ray block.
 
     spec: dict of static flags {spheres, cubes, rects, planes, motion}.
-    enable: optional scalar bool predicating the commit (used by the BVH
-    state machine to no-op iterations outside leaf mode)."""
-    best_t, best_id = carry
+    When exactly one kind flag is set and spec["single"] is true, the
+    per-row kind dispatch compiles away entirely (the kind-split kernels
+    run one such loop per kind over a kind-sorted table).
+    Returns (t_geom (R,) with +inf miss, gid scalar)."""
+    single = spec.get("single", False)
     # Table is stored transposed (17, G): SMEM pads the minor dimension of
     # every row to 512 bytes, so (G, 17) would cost 512 B/geom and overflow
     # the ~1 MB SMEM at a few thousand geoms; (17, G) costs 4 B/geom.
@@ -121,7 +125,8 @@ def geom_step(g, carry, table_ref, rb: RayBlock, spec, enable=None):
                 t1 > C.EPS_T_MIN, t1, jnp.where(t2 > C.EPS_T_MIN, t2, _INF)
             )
             t_sph = jnp.where((disc >= 0.0) & (a > 0.0), t_sph, _INF)
-            t_geom = jnp.where(kind == 0.0, t_sph * rb.dnorm, t_geom)
+            t_sph = t_sph * rb.dnorm
+            t_geom = t_sph if single else jnp.where(kind == 0.0, t_sph, t_geom)
 
         if spec["cubes"]:
             # Slab test with t > 0, no 1e-3 epsilon (Code/shapes.cpp:361-393).
@@ -141,7 +146,8 @@ def geom_step(g, carry, table_ref, rb: RayBlock, spec, enable=None):
             miss = miss | (t_near > t_far) | (t_far < 0.0)
             t_cub = jnp.where(t_near > 0.0, t_near, t_far)
             t_cub = jnp.where(miss | (t_cub < 0.0), _INF, t_cub)
-            t_geom = jnp.where(kind == 1.0, t_cub * rb.dnorm, t_geom)
+            t_cub = t_cub * rb.dnorm
+            t_geom = t_cub if single else jnp.where(kind == 1.0, t_cub, t_geom)
 
         if spec["rects"]:
             # (Code/shapes.cpp:305-315)
@@ -155,7 +161,8 @@ def geom_step(g, carry, table_ref, rb: RayBlock, spec, enable=None):
                 & (hx >= -0.5) & (hx <= 0.5) & (hy >= -0.5) & (hy <= 0.5)
             )
             t_rec = jnp.where(ok_r, t_r, _INF)
-            t_geom = jnp.where(kind == 2.0, t_rec * rb.dnorm, t_geom)
+            t_rec = t_rec * rb.dnorm
+            t_geom = t_rec if single else jnp.where(kind == 2.0, t_rec, t_geom)
 
     if spec["planes"]:
         # Legacy quad, parametric t (Code/shapes.cpp:444-483); the 12
@@ -203,8 +210,19 @@ def geom_step(g, carry, table_ref, rb: RayBlock, spec, enable=None):
         )
         ok = (~degen) & (~par) & (t >= 0.0) & (in_t1 | in_t2)
         t_pl = jnp.where(ok, t, _INF)
-        t_geom = jnp.where(kind == 3.0, t_pl, t_geom)
+        t_geom = t_pl if single else jnp.where(kind == 3.0, t_pl, t_geom)
 
+    return t_geom, gid
+
+
+def geom_step(g, carry, table_ref, rb: RayBlock, spec, enable=None):
+    """Test geom-table row g against the ray block; update (best_t, best_id)
+    with the strict-< first-wins tie-break (Code/acceleration.cpp:112,133).
+
+    enable: optional scalar bool predicating the commit (used by the BVH
+    state machine to no-op iterations outside leaf mode)."""
+    best_t, best_id = carry
+    t_geom, gid = geom_t(g, table_ref, rb, spec)
     better = t_geom < best_t
     if enable is not None:
         better = better & enable
@@ -213,7 +231,26 @@ def geom_step(g, carry, table_ref, rb: RayBlock, spec, enable=None):
     return best_t, best_id
 
 
-def _brute_kernel(rays_ref, table_ref, t_ref, id_ref, *, n_geoms, spec):
+def _kind_spec(kind: int, motion: bool) -> dict:
+    """Static spec for one kind-specialized loop range (kind -1 = mixed)."""
+    if kind < 0:
+        return dict(
+            spheres=True, cubes=True, rects=True, planes=False, motion=motion
+        )
+    return dict(
+        spheres=kind == 0,
+        cubes=kind == 1,
+        rects=kind == 2,
+        planes=kind == 3,
+        # Only spheres carry velocity (Code/json_loader.cpp:215-223).
+        motion=motion and kind == 0,
+        single=True,
+    )
+
+
+def _brute_kernel(rays_ref, table_ref, t_ref, id_ref, *, ranges, motion):
+    """Brute-force closest hit: one kind-specialized fori_loop per range of
+    the kind-sorted geom table (kernels/geom_table.py)."""
     act = rays_ref[7, :]
     t_ref[0, :] = jnp.full((BLOCK_R,), _INF, jnp.float32)
     id_ref[0, :] = jnp.full((BLOCK_R,), -1, jnp.int32)
@@ -225,12 +262,15 @@ def _brute_kernel(rays_ref, table_ref, t_ref, id_ref, *, n_geoms, spec):
             jnp.full(rb.ox.shape, _INF, jnp.float32),
             jnp.full(rb.ox.shape, -1, jnp.int32),
         )
-        best_t, best_id = lax.fori_loop(
-            0,
-            n_geoms,
-            lambda g, cr: geom_step(g, cr, table_ref, rb, spec),
-            best,
-        )
+        for kind, start, end in ranges:
+            spec = _kind_spec(kind, motion)
+            best = lax.fori_loop(
+                start,
+                end,
+                lambda g, cr, spec=spec: geom_step(g, cr, table_ref, rb, spec),
+                best,
+            )
+        best_t, best_id = best
         t_ref[0, :] = best_t
         id_ref[0, :] = best_id
 
@@ -246,10 +286,10 @@ def scene_spec(scene: Scene) -> dict:
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _brute_call(rays, table, n_geoms, spec_key):
+def _brute_call(rays, table, ranges, motion):
     r_pad = rays.shape[1]
-    spec = dict(spec_key)
-    kernel = functools.partial(_brute_kernel, n_geoms=n_geoms, spec=spec)
+    n_geoms = max(end for _, _, end in ranges)
+    kernel = functools.partial(_brute_kernel, ranges=ranges, motion=motion)
     flops_per = 90 * n_geoms
     t, pid = pl.pallas_call(
         kernel,
@@ -276,11 +316,11 @@ def _brute_call(rays, table, n_geoms, spec_key):
     return t[0], pid[0]
 
 
-def _brute_fwd(rays, table, n_geoms, spec_key):
-    return _brute_call(rays, table, n_geoms, spec_key), None
+def _brute_fwd(rays, table, ranges, motion):
+    return _brute_call(rays, table, ranges, motion), None
 
 
-def _brute_bwd(n_geoms, spec_key, _res, _ct):
+def _brute_bwd(ranges, motion, _res, _ct):
     # Hit decisions are piecewise-constant; their a.e.-zero gradient is
     # materialized as zeros (None = symbolic zero).
     return None, None
@@ -313,8 +353,113 @@ def closest_hit_tid(scene: Scene, o, d, time, active=None):
     """
     r = o.shape[0]
     rays, _ = pack_rays(o, d, time, active)
-    table = lax.stop_gradient(pack_geom_table(scene).T)  # (17, G) for SMEM
-    spec_key = tuple(sorted(scene_spec(scene).items()))
-    t, pid = _brute_call(rays, table, scene.n_geoms, spec_key)
+    table, ranges = pack_geom_table_sorted(scene)
+    table = lax.stop_gradient(table.T)  # (17, G) for SMEM
+    t, pid = _brute_call(rays, table, ranges, scene.has_motion)
     pid = jnp.where(jnp.isfinite(t), pid, -1)
     return t[:r], pid[:r]
+
+
+# ---------------------------------------------------------------------------
+# Occlusion (shadow any-hit) kernel
+# ---------------------------------------------------------------------------
+
+# Geoms tested per early-exit check in the occlusion kernel.  A bare
+# 1-geom-per-iteration while_loop serializes on its loop-carried scalar
+# reduction (~4x slower than the fori closest-hit loop); unrolling CHUNK
+# geom tests per iteration restores instruction-level pipelining while
+# still exiting once every live lane in the block is occluded.
+OCC_CHUNK = 8
+
+
+def _occlusion_kernel(rays_ref, maxt_ref, table_ref, out_ref, *, ranges, motion):
+    """Any-hit test: out[r] = 1 iff some geom has hit distance <= maxt[r].
+
+    Shadow visibility only needs EXISTENCE of a blocker closer than the
+    light (visible iff min_t > light_dist, Code/raytracer.cpp:233-235 — the
+    complement of any t <= light_dist), so unlike the closest-hit kernel
+    this one EARLY-EXITS each kind loop as soon as every live lane in the
+    block is already occluded.  Kind segments are padded to OCC_CHUNK with
+    never-hit zero rows (kernels/geom_table.py)."""
+    act = rays_ref[7, :]
+    out_ref[0, :] = jnp.zeros((BLOCK_R,), jnp.float32)
+
+    @pl.when(jnp.max(act) > 0.0)
+    def _():
+        rb = RayBlock(rays_ref)
+        maxt = maxt_ref[0, :]
+        # The mask rides the while carry as f32 (Mosaic cannot yield i1
+        # vectors from scf.while).  Inactive lanes start "blocked" so they
+        # never hold the loop open.
+        blocked = jnp.where(act > 0.0, 0.0, 1.0)
+        for kind, start, end in ranges:
+            spec = _kind_spec(kind, motion)
+
+            def cond(carry, end=end):
+                g, blk = carry
+                return (g < end) & (jnp.min(blk) < 1.0)
+
+            def body(carry, spec=spec):
+                g, blk = carry
+                hit = jnp.zeros(blk.shape, jnp.float32)
+                for i in range(OCC_CHUNK):
+                    t_geom, _ = geom_t(g + i, table_ref, rb, spec)
+                    hit = jnp.maximum(hit, (t_geom <= maxt).astype(jnp.float32))
+                return g + OCC_CHUNK, jnp.maximum(blk, hit)
+
+            _, blocked = lax.while_loop(cond, body, (start, blocked))
+        out_ref[0, :] = jnp.where(act > 0.0, blocked, 0.0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _occlusion_call(rays, maxt, table, ranges, motion):
+    r_pad = rays.shape[1]
+    n_geoms = max(end for _, _, end in ranges)
+    kernel = functools.partial(_occlusion_kernel, ranges=ranges, motion=motion)
+    blocked = pl.pallas_call(
+        kernel,
+        grid=(r_pad // BLOCK_R,),
+        in_specs=[
+            pl.BlockSpec((8, BLOCK_R), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_R), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, BLOCK_R), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, r_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=90 * n_geoms * r_pad,
+            bytes_accessed=rays.size * 4 + r_pad * 8,
+            transcendentals=0,
+        ),
+        interpret=pallas_interpret(),
+    )(rays, maxt, table)
+    return blocked[0]
+
+
+def _occlusion_fwd(rays, maxt, table, ranges, motion):
+    return _occlusion_call(rays, maxt, table, ranges, motion), None
+
+
+def _occlusion_bwd(ranges, motion, _res, _ct):
+    # Binary visibility is piecewise-constant: zero gradient a.e.
+    return None, None, None
+
+
+_occlusion_call.defvjp(_occlusion_fwd, _occlusion_bwd)
+
+
+def occluded_tid(scene: Scene, o, d, maxt, active=None):
+    """(R,) bool: some geom blocks the ray before distance maxt.
+
+    Shadow rays carry time = 0 (Ray default, Code/shapes.hpp:28), so the
+    motion shift compiles away."""
+    r = o.shape[0]
+    rays, r_pad = pack_rays(o, d, jnp.zeros(r, jnp.float32), active)
+    mt = jnp.zeros((1, r_pad), jnp.float32)
+    mt = mt.at[0, :r].set(maxt)
+    table, ranges = pack_geom_table_sorted(scene, chunk=OCC_CHUNK)
+    table = lax.stop_gradient(table.T)
+    blocked = _occlusion_call(rays, lax.stop_gradient(mt), table, ranges, False)
+    return blocked[:r] > 0.0

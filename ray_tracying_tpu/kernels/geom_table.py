@@ -54,3 +54,60 @@ def pack_geom_table(scene: Scene) -> jnp.ndarray:
     if not rows:
         return jnp.zeros((1, GEOM_COLS), jnp.float32)
     return jnp.concatenate(rows, axis=0)
+
+
+def pack_geom_table_sorted(scene: Scene, chunk: int = 1):
+    """Kind-sorted geom table + static per-kind loop ranges.
+
+    Returns (table, ranges) where table is the (G, 17) table with rows
+    stably sorted by kind (spheres, cubes, rects, planes) and ranges is a
+    static tuple of (kind_code, start, end) for each nonempty kind.  The
+    brute-force kernel runs one kind-specialized inner loop per range,
+    dropping the per-row kind dispatch entirely.  Row order is id-tagged
+    (col 16), so the reported winner ids are unchanged; only exact-t ties
+    BETWEEN kinds can break differently from load order — a measure-zero
+    deviation from min_element first-wins (Code/acceleration.cpp:112).
+
+    chunk > 1 pads every kind segment to a multiple of `chunk` with
+    all-zero rows, which miss every ray for every kind (zero transforms
+    degenerate each primitive test) — the occlusion kernel unrolls its
+    early-exit loop by `chunk` and needs aligned segment ends.
+
+    Requires scene.kind_counts (set by the loader); falls back to a single
+    mixed range when counts don't cover the table (hand-built scenes).
+    """
+    table = pack_geom_table(scene)
+    ns, nc, nr = scene.kind_counts
+    if ns + nc + nr != scene.n_prims:
+        spec = []
+        if scene.n_prims:
+            spec.append((-1, 0, scene.n_prims))  # -1 = mixed kinds
+        if scene.n_planes:
+            spec.append((KIND_PLANE, scene.n_prims, scene.n_geoms))
+        return table, tuple(spec)
+    order = jnp.argsort(table[:, 15], stable=True)
+    table = table[order]
+    counts = [ns, nc, nr, scene.n_planes]
+    if chunk > 1:
+        padded = [-(-c // chunk) * chunk for c in counts]
+        segs = []
+        start = 0
+        for kind, (c, p) in enumerate(zip(counts, padded)):
+            seg = table[start : start + c]
+            if p > c:
+                pad = jnp.zeros((p - c, GEOM_COLS), table.dtype)
+                pad = pad.at[:, 15].set(float(kind))
+                seg = jnp.concatenate([seg, pad], axis=0)
+            segs.append(seg)
+            start += c
+        table = jnp.concatenate(segs, axis=0)
+        counts = padded
+    bounds = [0]
+    for c in counts:
+        bounds.append(bounds[-1] + c)
+    ranges = tuple(
+        (kind, bounds[kind], bounds[kind + 1])
+        for kind in range(4)
+        if bounds[kind + 1] > bounds[kind]
+    )
+    return table, ranges

@@ -83,7 +83,7 @@ def _cat(queues) -> _Queue:
     return _Queue(*(jnp.concatenate(f, axis=0) for f in zip(*queues)))
 
 
-def _spawn_reflection(scene, q, hit, mrec, act, k_level, capacity):
+def _spawn_reflection(scene, q, hit, mrec, act, k_level, capacity, min_tp):
     """Reflection continuation (Code/raytracer.cpp:307-333)."""
     rdir = reflect(q.d, hit.normal)
     if scene.has_glossy:
@@ -93,27 +93,33 @@ def _spawn_reflection(scene, q, hit, mrec, act, k_level, capacity):
         pert = normalize(rdir + mrec.roughness[:, None] * fuzz)
         pert = jnp.where((dot(pert, hit.normal) < 0.0)[:, None], 0.0, pert)
         rdir = jnp.where((mrec.roughness > 0.0)[:, None], pert, rdir)
+    tp = q.tp * mrec.reflectivity
     ok = act & (mrec.reflectivity > 0.0) & (dot(rdir, rdir) > C.EPS_GLOSSY_DIR2)
+    if min_tp > 0.0:
+        ok = ok & (tp > min_tp)
     return _Queue(
         o=hit.point + hit.normal * C.EPS_NORMAL_OFFSET,
         d=rdir,
         # Secondary rays carry time = 0 (Ray default, Code/shapes.hpp:28).
         time=jnp.zeros(capacity),
-        tp=q.tp * mrec.reflectivity,
+        tp=tp,
         dest=q.dest,
         active=ok,
     )
 
 
-def _spawn_refraction(scene, q, hit, mrec, act, capacity):
+def _spawn_refraction(scene, q, hit, mrec, act, capacity, min_tp):
     """Refraction continuation (Code/raytracer.cpp:335-344)."""
     tdir, n_eff = refract(q.d, hit.normal, mrec.ior)
+    tp = q.tp * mrec.transparency
     ok = act & (mrec.transparency > 0.0) & (dot(tdir, tdir) > C.EPS_REFRACT_DIR2)
+    if min_tp > 0.0:
+        ok = ok & (tp > min_tp)
     return _Queue(
         o=hit.point - n_eff * C.EPS_NORMAL_OFFSET,
         d=tdir,
         time=jnp.zeros(capacity),
-        tp=q.tp * mrec.transparency,
+        tp=tp,
         dest=q.dest,
         active=ok,
     )
@@ -128,11 +134,19 @@ def trace_wavefront(
     light_samples: int,
     queue_mult: int = 2,
     use_bvh: bool = False,
+    min_throughput: float = 0.0,
 ) -> jnp.ndarray:
     """Trace R primary rays to completion.  Returns (R, 3) radiance.
 
     use_bvh routes closest-hit through the LBVH traversal kernel (same
-    image; mirrors the reference -bvh flag, Code/raytracer.cpp:369)."""
+    image; mirrors the reference -bvh flag, Code/raytracer.cpp:369).
+
+    min_throughput: kill continuation rays whose path throughput falls at
+    or below this value.  0.0 (default) = the reference's exact semantics
+    (rays die only on miss or at depth 11).  Positive values are a lossy
+    speed knob: a killed ray changes its sample's linear radiance by at
+    most tp * L_max, so small cutoffs perturb the uint8 image by at most
+    a few steps (measured: <= 2 at 5e-3 on the bundled bvh scene)."""
     r = origins.shape[0]
     bg = jnp.asarray(C.BACKGROUND_RGB, jnp.float32)
 
@@ -193,14 +207,22 @@ def trace_wavefront(
             return (accum, q), None
 
         if two_way:
-            c_refl = _spawn_reflection(scene, q, hit, mrec, act, k_level, capacity)
-            c_refr = _spawn_refraction(scene, q, hit, mrec, act, capacity)
+            c_refl = _spawn_reflection(
+                scene, q, hit, mrec, act, k_level, capacity, min_throughput
+            )
+            c_refr = _spawn_refraction(
+                scene, q, hit, mrec, act, capacity, min_throughput
+            )
             cand = _cat([c_refl, c_refr])
             q = _compact(cand, cand.active, capacity)
         elif scene.has_reflection:
-            q = _spawn_reflection(scene, q, hit, mrec, act, k_level, capacity)
+            q = _spawn_reflection(
+                scene, q, hit, mrec, act, k_level, capacity, min_throughput
+            )
         else:
-            q = _spawn_refraction(scene, q, hit, mrec, act, capacity)
+            q = _spawn_refraction(
+                scene, q, hit, mrec, act, capacity, min_throughput
+            )
         return (accum, q), None
 
     if not spawn:

@@ -255,6 +255,24 @@ def min_hit_t(scene: Scene, o, d, time, active=None, use_bvh=False) -> jnp.ndarr
     return jnp.min(tm, axis=1)
 
 
+def occluded(scene: Scene, o, d, maxt, active=None, use_bvh=False) -> jnp.ndarray:
+    """(R,) bool: some geom blocks the ray at distance <= maxt.
+
+    The complement of the reference's shadow visibility test
+    `shadow_hit.t > light_dist` (Code/raytracer.cpp:233-235) — existence
+    of ANY blocker, which lets the TPU kernel early-exit blocks whose
+    lanes are all occluded instead of completing the closest-hit min.
+    Shadow rays carry time = 0 (Ray default, Code/shapes.hpp:28)."""
+    if scene.n_geoms == 0:
+        return jnp.zeros(o.shape[:1], bool)
+    if _use_pallas() and not (use_bvh and scene.bvh_geoms is not None):
+        from ray_tracying_tpu.kernels.closest_hit import occluded_tid
+
+        return occluded_tid(scene, o, d, maxt, active)
+    t = min_hit_t(scene, o, d, jnp.zeros(o.shape[:1]), active, use_bvh)
+    return t <= maxt
+
+
 # ---------------------------------------------------------------------------
 # Pass 2: attribute reconstruction for the winning geom
 # ---------------------------------------------------------------------------

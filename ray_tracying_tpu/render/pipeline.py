@@ -31,15 +31,19 @@ class RenderOptions:
     samples_sqrt: int = 4      # -s     (n x n stratified samples per pixel)
     light_samples: int = 1     # -light_sample
     use_bvh: bool = False      # -bvh   (identical hit set either way)
-    max_rays_per_pass: int = 1 << 20
+    max_rays_per_pass: int = 1 << 22
     queue_mult: int = 2        # queue growth headroom for mirror+glass scenes
+    # Kill continuation rays at throughput <= this.  0.0 = exact reference
+    # semantics; positive values trade bounded uint8 error for speed (see
+    # trace_wavefront docstring).
+    min_throughput: float = 0.0
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "rows", "width", "samples_sqrt", "light_samples", "queue_mult",
-        "use_bvh",
+        "use_bvh", "min_throughput",
     ),
 )
 def _render_tile(
@@ -52,6 +56,7 @@ def _render_tile(
     light_samples: int,
     queue_mult: int,
     use_bvh: bool = False,
+    min_throughput: float = 0.0,
 ):
     """Render a (rows, width) tile -> (rows, width, 3) linear radiance."""
     spp = samples_sqrt * samples_sqrt if samples_sqrt > 1 else 1
@@ -89,7 +94,8 @@ def _render_tile(
     times = jax.random.uniform(k_time, px.shape, jnp.float32)
 
     colors = trace_wavefront(
-        scene, o, d, times, k_trace, light_samples, queue_mult, use_bvh
+        scene, o, d, times, k_trace, light_samples, queue_mult, use_bvh,
+        min_throughput,
     )  # (R, 3)
     return jnp.mean(colors.reshape(rows, width, spp, 3), axis=2)
 
@@ -111,26 +117,38 @@ def render_image(
     spp = opts.samples_sqrt * opts.samples_sqrt if opts.samples_sqrt > 1 else 1
     rows = max(1, min(height, opts.max_rays_per_pass // max(1, width * spp)))
 
-    out = np.zeros((height, width, 3), np.float32)
+    # Dispatch every tile before copying any back: JAX's async dispatch
+    # queues them on device back-to-back, so the per-call host->device
+    # round-trip latency is paid once, not per tile.
+    tiles = []
     y0 = 0
     tile_idx = 0
     while y0 < height:
         k_tile = jax.random.fold_in(key, tile_idx)
-        tile = _render_tile(
-            scene,
-            jnp.float32(y0),
-            k_tile,
-            rows,
-            width,
-            opts.samples_sqrt,
-            opts.light_samples,
-            opts.queue_mult,
-            opts.use_bvh,
+        tiles.append(
+            (
+                y0,
+                min(rows, height - y0),
+                _render_tile(
+                    scene,
+                    jnp.float32(y0),
+                    k_tile,
+                    rows,
+                    width,
+                    opts.samples_sqrt,
+                    opts.light_samples,
+                    opts.queue_mult,
+                    opts.use_bvh,
+                    opts.min_throughput,
+                ),
+            )
         )
-        take = min(rows, height - y0)
-        out[y0 : y0 + take] = np.asarray(tile)[:take]
-        y0 += take
+        y0 += min(rows, height - y0)
         tile_idx += 1
+
+    out = np.zeros((height, width, 3), np.float32)
+    for y0, take, tile in tiles:
+        out[y0 : y0 + take] = np.asarray(tile)[:take]
     return out
 
 

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from ray_tracying_tpu.core import constants as C
 from ray_tracying_tpu.core.sampling import uniform_in_unit_sphere
 from ray_tracying_tpu.core.vecmath import dot, normalize, safe_sqrt
-from ray_tracying_tpu.render.intersect import Hit, min_hit_t
+from ray_tracying_tpu.render.intersect import Hit, occluded
 from ray_tracying_tpu.render.materials import MatRec, gather_materials
 from ray_tracying_tpu.scene.types import Scene
 
@@ -113,11 +113,12 @@ def shade(
         )
         # Shadow rays carry time = 0 (Ray default member init,
         # Code/shapes.hpp:28) — motion blur does NOT apply to them.
-        t_min = min_hit_t(
-            scene, so, sd, jnp.zeros(r * s), s_act, use_bvh
+        # Visibility via the any-hit kernel: visible iff NO blocker at
+        # t <= light_dist == shadow_hit.t > light_dist.
+        blocked = occluded(
+            scene, so, sd, l_dist.reshape(r * s), s_act, use_bvh
         ).reshape(r, s)
-        visible = t_min > l_dist                        # miss -> inf -> True
-        visibility = jnp.mean(visible.astype(jnp.float32), axis=1)  # (R,)
+        visibility = jnp.mean(1.0 - blocked.astype(jnp.float32), axis=1)  # (R,)
 
         # Blinn-Phong from the light center (:244-259).
         lv_c = l_pos - p

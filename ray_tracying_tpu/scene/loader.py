@@ -361,6 +361,11 @@ def load_scene_dict(data: dict, textures_dir: Optional[str] = None) -> Scene:
         has_spheres=KIND_SPHERE in kinds,
         has_cubes=KIND_CUBE in kinds,
         has_rects=KIND_RECT in kinds,
+        kind_counts=(
+            kinds.count(KIND_SPHERE),
+            kinds.count(KIND_CUBE),
+            kinds.count(KIND_RECT),
+        ),
     )
 
 

@@ -118,6 +118,12 @@ class Scene:
     has_spheres: bool = struct.field(pytree_node=False, default=False)
     has_cubes: bool = struct.field(pytree_node=False, default=False)
     has_rects: bool = struct.field(pytree_node=False, default=False)
+    # Static (n_spheres, n_cubes, n_rects): lets the brute-force kernel run
+    # one specialized loop per kind over a kind-sorted geom table instead of
+    # per-row kind dispatch.
+    kind_counts: Tuple[int, int, int] = struct.field(
+        pytree_node=False, default=(0, 0, 0)
+    )
     # LBVH arrays (None until accel.with_bvh attaches them).
     bvh_nodes_box: Optional[jnp.ndarray] = None    # (M, 6) min xyz | max xyz
     bvh_nodes_topo: Optional[jnp.ndarray] = None   # (M, 4) int32 left right first count

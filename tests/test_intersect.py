@@ -164,3 +164,51 @@ def test_min_hit_t_matches_closest_hit():
     t = I.min_hit_t(s, o, dd, jnp.zeros(1))
     h = I.closest_hit(s, o, dd, jnp.zeros(1))
     assert float(t[0]) == pytest.approx(float(h.t[0]), rel=1e-5)
+
+
+def test_occluded_matches_min_hit_t():
+    d = minimal_camera()
+    d["spheres"] = [{"location": [0, 5, 0], "radius": 1.0}]
+    d["cubes"] = [{"translation": [2, 8, 0], "rotation": [0, 0, 0]}]
+    d["rectangles"] = [
+        {"translation": [0, 12, 0], "rotation": [1.5707963, 0, 0],
+         "scale": [30.0, 30.0, 1.0]}
+    ]
+    s = load_scene_dict(d)
+    rng = np.random.default_rng(0)
+    n = 64
+    o = jnp.asarray(rng.normal(size=(n, 3)) * 2.0, jnp.float32)
+    dd = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    dd = dd / jnp.linalg.norm(dd, axis=1, keepdims=True)
+    maxt = jnp.asarray(rng.uniform(0.5, 20.0, size=n), jnp.float32)
+    blocked = I.occluded(s, o, dd, maxt)
+    t = I.min_hit_t(s, o, dd, jnp.zeros(n))
+    np.testing.assert_array_equal(np.asarray(blocked), np.asarray(t <= maxt))
+
+
+def test_occluded_kernel_interpret_matches_oracle():
+    """Exercise the Pallas occlusion kernel (interpret mode) incl. the
+    chunk-padded kind segments and the early-exit while loop."""
+    import os
+
+    if os.environ.get("RTT_SKIP_INTERPRET") == "1":
+        pytest.skip("interpret disabled")
+    d = minimal_camera()
+    d["spheres"] = [{"location": [0, 5, 0], "radius": 1.0}]
+    d["cubes"] = [{"translation": [2, 8, 0], "rotation": [0.2, 0.1, 0.4]}]
+    s = load_scene_dict(d)
+    rng = np.random.default_rng(1)
+    n = 32
+    o = jnp.asarray(rng.normal(size=(n, 3)) * 2.0, jnp.float32)
+    dd = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    dd = dd / jnp.linalg.norm(dd, axis=1, keepdims=True)
+    maxt = jnp.asarray(rng.uniform(0.5, 20.0, size=n), jnp.float32)
+    os.environ["RTT_PALLAS_INTERPRET"] = "1"
+    try:
+        from ray_tracying_tpu.kernels.closest_hit import occluded_tid
+
+        blocked = np.asarray(occluded_tid(s, o, dd, maxt))
+    finally:
+        del os.environ["RTT_PALLAS_INTERPRET"]
+    t = np.asarray(I.min_hit_t(s, o, dd, jnp.zeros(n)))
+    np.testing.assert_array_equal(blocked, t <= np.asarray(maxt))
