@@ -26,11 +26,16 @@ def fit(
     opts: Optional[RenderOptions] = None,
     key: Optional[jax.Array] = None,
     resample_noise: bool = True,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 25,
 ) -> Tuple[Scene, Dict[str, jnp.ndarray], list]:
     """Adam-optimize the given scene leaves against the target.
 
     resample_noise: redraw the per-step render RNG (stochastic effects act
     as unbiased noise on the gradient); fix it for deterministic scenes.
+    checkpoint_dir: if set, saves {theta, opt_state} every
+    checkpoint_every steps via orbax and RESUMES from the latest
+    checkpoint found there (diff/checkpoint.py).
     Returns (fitted scene, fitted params, loss history).
     """
     opts = opts or RenderOptions(samples_sqrt=1, light_samples=1)
@@ -39,6 +44,14 @@ def fit(
     theta = P.extract(scene, param_paths)
     opt = optax.adam(learning_rate)
     opt_state = opt.init(theta)
+
+    start = 0
+    if checkpoint_dir is not None:
+        from ray_tracying_tpu.diff import checkpoint as ckpt
+
+        restored = ckpt.restore(checkpoint_dir, theta, opt_state)
+        if restored is not None:
+            start, theta, opt_state = restored
 
     @jax.jit
     def step(theta, opt_state, k):
@@ -51,8 +64,15 @@ def fit(
         return theta, opt_state, loss
 
     history = []
-    for i in range(steps):
+    for i in range(start, steps):
         k = jax.random.fold_in(key, i) if resample_noise else key
         theta, opt_state, loss = step(theta, opt_state, k)
         history.append(float(loss))
+        if (
+            checkpoint_dir is not None
+            and (i + 1) % checkpoint_every == 0
+        ):
+            from ray_tracying_tpu.diff import checkpoint as ckpt
+
+            ckpt.save(checkpoint_dir, i + 1, theta, opt_state)
     return P.apply(scene, theta), theta, history

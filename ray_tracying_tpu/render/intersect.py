@@ -265,7 +265,11 @@ def occluded(scene: Scene, o, d, maxt, active=None, use_bvh=False) -> jnp.ndarra
     Shadow rays carry time = 0 (Ray default, Code/shapes.hpp:28)."""
     if scene.n_geoms == 0:
         return jnp.zeros(o.shape[:1], bool)
-    if _use_pallas() and not (use_bvh and scene.bvh_geoms is not None):
+    if _use_pallas():
+        # Always the brute any-hit kernel, even under -bvh: occlusion
+        # needs existence (early exit), not the closest hit, and shadow
+        # blocks lose the directional coherence BVH traversal feeds on
+        # (every ray aims at a different jittered light point).
         from ray_tracying_tpu.kernels.closest_hit import occluded_tid
 
         return occluded_tid(scene, o, d, maxt, active)

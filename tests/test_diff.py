@@ -116,3 +116,39 @@ def test_inverse_rendering_recovers_diffuse():
     assert hist[-1] < hist[0] * 0.05, f"loss did not converge: {hist[::10]}"
     got = np.asarray(theta["materials.diffuse"][0])
     np.testing.assert_allclose(got, [0.8, 0.3, 0.2], atol=0.07)
+
+
+def test_fit_checkpoint_and_resume(tmp_path):
+    """fit() saves orbax checkpoints and resumes from the latest one."""
+    scene_true = tiny_scene()
+    target = render_linear(scene_true, KEY, OPTS)
+    wrong = scene_true.materials.diffuse.at[0].set(
+        jnp.asarray([0.2, 0.7, 0.7])
+    )
+    scene0 = scene_true.replace(
+        materials=scene_true.materials.replace(diffuse=wrong)
+    )
+    ckdir = str(tmp_path / "ckpt")
+    # First leg: 20 steps, checkpoint every 10.
+    _, theta_a, hist_a = fit(
+        scene0, target, ["materials.diffuse"], steps=20,
+        learning_rate=5e-2, opts=OPTS, key=KEY, resample_noise=False,
+        checkpoint_dir=ckdir, checkpoint_every=10,
+    )
+    # Second leg: asks for 40 steps; must resume at step 20 (only 20 more).
+    _, theta_b, hist_b = fit(
+        scene0, target, ["materials.diffuse"], steps=40,
+        learning_rate=5e-2, opts=OPTS, key=KEY, resample_noise=False,
+        checkpoint_dir=ckdir, checkpoint_every=10,
+    )
+    assert len(hist_b) == 20, "resume should skip already-run steps"
+    # Reference: one uninterrupted 40-step run.
+    _, theta_c, _ = fit(
+        scene0, target, ["materials.diffuse"], steps=40,
+        learning_rate=5e-2, opts=OPTS, key=KEY, resample_noise=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(theta_b["materials.diffuse"]),
+        np.asarray(theta_c["materials.diffuse"]),
+        atol=1e-5,
+    )
