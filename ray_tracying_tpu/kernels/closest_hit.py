@@ -43,6 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ray_tracying_tpu.core import constants as C
 from ray_tracying_tpu.kernels.geom_table import (
+    pack_geom_table_chunked,
     pack_geom_table_sorted,
 )
 from ray_tracying_tpu.scene.types import Scene
@@ -329,6 +330,90 @@ def _brute_bwd(ranges, motion, _res, _ct):
 _brute_call.defvjp(_brute_fwd, _brute_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Geom-chunked brute kernel: scenes whose table exceeds SMEM
+# ---------------------------------------------------------------------------
+
+# The full (17, G) table must fit SMEM (~1 MB) for the single-pass kernel;
+# beyond this the grid adds a geom-chunk dimension and streams table
+# chunks through SMEM while the (best_t, best_id) output block stays
+# resident in VMEM across chunks.
+BRUTE_SMEM_MAX_GEOMS = 12288
+GEOM_CHUNK = 4096
+
+
+def _brute_chunked_kernel(rays_ref, table_ref, t_ref, id_ref, *, spec):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        t_ref[0, :] = jnp.full((BLOCK_R,), _INF, jnp.float32)
+        id_ref[0, :] = jnp.full((BLOCK_R,), -1, jnp.int32)
+
+    act = rays_ref[7, :]
+
+    @pl.when(jnp.max(act) > 0.0)
+    def _():
+        rb = RayBlock(rays_ref)
+        best = (t_ref[0, :], id_ref[0, :])
+        best_t, best_id = lax.fori_loop(
+            0,
+            GEOM_CHUNK,
+            lambda g, cr: geom_step(g, cr, table_ref, rb, spec),
+            best,
+        )
+        t_ref[0, :] = best_t
+        id_ref[0, :] = best_id
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _brute_chunked_call(rays, table, spec_key):
+    r_pad = rays.shape[1]
+    g_pad = table.shape[1]
+    spec = dict(spec_key)
+    kernel = functools.partial(_brute_chunked_kernel, spec=spec)
+    t, pid = pl.pallas_call(
+        kernel,
+        grid=(r_pad // BLOCK_R, g_pad // GEOM_CHUNK),
+        in_specs=[
+            pl.BlockSpec(
+                (8, BLOCK_R), lambda i, j: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (17, GEOM_CHUNK), lambda i, j: (0, j), memory_space=pltpu.SMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, BLOCK_R), lambda i, j: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, BLOCK_R), lambda i, j: (0, i), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, r_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, r_pad), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=pallas_interpret(),
+    )(rays, table)
+    return t[0], pid[0]
+
+
+def _brute_chunked_fwd(rays, table, spec_key):
+    return _brute_chunked_call(rays, table, spec_key), None
+
+
+def _brute_chunked_bwd(spec_key, _res, _ct):
+    return None, None
+
+
+_brute_chunked_call.defvjp(_brute_chunked_fwd, _brute_chunked_bwd)
+
+
 def pack_rays(o, d, time, active):
     """(R,3)x2 + (R,) -> (8, R_pad) ray block array."""
     r = o.shape[0]
@@ -353,9 +438,17 @@ def closest_hit_tid(scene: Scene, o, d, time, active=None):
     """
     r = o.shape[0]
     rays, _ = pack_rays(o, d, time, active)
-    table, ranges = pack_geom_table_sorted(scene)
-    table = lax.stop_gradient(table.T)  # (17, G) for SMEM
-    t, pid = _brute_call(rays, table, ranges, scene.has_motion)
+    if scene.n_geoms > BRUTE_SMEM_MAX_GEOMS:
+        # Stream the table through SMEM in chunks (mixed-kind loop).
+        table = lax.stop_gradient(
+            pack_geom_table_chunked(scene, GEOM_CHUNK).T
+        )
+        spec_key = tuple(sorted(scene_spec(scene).items()))
+        t, pid = _brute_chunked_call(rays, table, spec_key)
+    else:
+        table, ranges = pack_geom_table_sorted(scene)
+        table = lax.stop_gradient(table.T)  # (17, G) for SMEM
+        t, pid = _brute_call(rays, table, ranges, scene.has_motion)
     pid = jnp.where(jnp.isfinite(t), pid, -1)
     return t[:r], pid[:r]
 

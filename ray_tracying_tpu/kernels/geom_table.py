@@ -56,6 +56,21 @@ def pack_geom_table(scene: Scene) -> jnp.ndarray:
     return jnp.concatenate(rows, axis=0)
 
 
+def pack_geom_table_chunked(scene: Scene, chunk: int):
+    """Load-order geom table padded to a multiple of `chunk` with never-hit
+    zero rows (gid 0, kind 0 — a zero transform degenerates every
+    primitive test to a miss).  Used by the geom-chunked brute kernel for
+    scenes whose full table exceeds SMEM."""
+    table = pack_geom_table(scene)
+    g = table.shape[0]
+    pad = -(-g // chunk) * chunk - g
+    if pad:
+        table = jnp.concatenate(
+            [table, jnp.zeros((pad, GEOM_COLS), table.dtype)], axis=0
+        )
+    return table
+
+
 def pack_geom_table_sorted(scene: Scene, chunk: int = 1):
     """Kind-sorted geom table + static per-kind loop ranges.
 

@@ -240,13 +240,20 @@ def min_hit_t(scene: Scene, o, d, time, active=None, use_bvh=False) -> jnp.ndarr
     if scene.n_geoms == 0:
         return jnp.full(o.shape[:1], _INF)
     if _use_pallas():
-        if use_bvh and scene.bvh_geoms is not None:
+        from ray_tracying_tpu.kernels.closest_hit import (
+            BRUTE_SMEM_MAX_GEOMS,
+            closest_hit_tid,
+        )
+
+        if (
+            use_bvh
+            and scene.bvh_geoms is not None
+            and scene.n_geoms <= BRUTE_SMEM_MAX_GEOMS
+        ):
             from ray_tracying_tpu.kernels.bvh_traverse import closest_hit_tid_bvh
 
             t, _ = closest_hit_tid_bvh(scene, o, d, time, active)
             return t
-        from ray_tracying_tpu.kernels.closest_hit import closest_hit_tid
-
         t, _ = closest_hit_tid(scene, o, d, time, active)
         return t
     # jnp fallback: linear brute force -- same hit set as the BVH
@@ -266,13 +273,17 @@ def occluded(scene: Scene, o, d, maxt, active=None, use_bvh=False) -> jnp.ndarra
     if scene.n_geoms == 0:
         return jnp.zeros(o.shape[:1], bool)
     if _use_pallas():
-        # Always the brute any-hit kernel, even under -bvh: occlusion
-        # needs existence (early exit), not the closest hit, and shadow
-        # blocks lose the directional coherence BVH traversal feeds on
-        # (every ray aims at a different jittered light point).
-        from ray_tracying_tpu.kernels.closest_hit import occluded_tid
+        from ray_tracying_tpu.kernels.closest_hit import (
+            BRUTE_SMEM_MAX_GEOMS,
+            occluded_tid,
+        )
 
-        return occluded_tid(scene, o, d, maxt, active)
+        if scene.n_geoms <= BRUTE_SMEM_MAX_GEOMS:
+            # Always the brute any-hit kernel, even under -bvh: occlusion
+            # needs existence (early exit), not the closest hit, and
+            # shadow blocks lose the directional coherence BVH traversal
+            # feeds on (every ray aims at a different jittered point).
+            return occluded_tid(scene, o, d, maxt, active)
     t = min_hit_t(scene, o, d, jnp.zeros(o.shape[:1]), active, use_bvh)
     return t <= maxt
 
@@ -407,13 +418,20 @@ def closest_hit(scene: Scene, o, d, time, active=None, use_bvh=False) -> Hit:
             uv=jnp.zeros((r, 2)),
         )
     if _use_pallas():
-        if use_bvh and scene.bvh_geoms is not None:
+        from ray_tracying_tpu.kernels.closest_hit import (
+            BRUTE_SMEM_MAX_GEOMS,
+            closest_hit_tid,
+        )
+
+        if (
+            use_bvh
+            and scene.bvh_geoms is not None
+            and scene.n_geoms <= BRUTE_SMEM_MAX_GEOMS
+        ):
             from ray_tracying_tpu.kernels.bvh_traverse import closest_hit_tid_bvh
 
             t_min, gid = closest_hit_tid_bvh(scene, o, d, time, active)
         else:
-            from ray_tracying_tpu.kernels.closest_hit import closest_hit_tid
-
             t_min, gid = closest_hit_tid(scene, o, d, time, active)
         valid = jnp.isfinite(t_min)
         gid = jnp.maximum(gid, 0)

@@ -212,3 +212,49 @@ def test_occluded_kernel_interpret_matches_oracle():
         del os.environ["RTT_PALLAS_INTERPRET"]
     t = np.asarray(I.min_hit_t(s, o, dd, jnp.zeros(n)))
     np.testing.assert_array_equal(blocked, t <= np.asarray(maxt))
+
+
+def test_chunked_brute_kernel_interpret_matches_oracle(monkeypatch):
+    """Force the geom-chunked kernel (big-scene path) on a small scene in
+    interpret mode: results must match the dense jnp oracle exactly."""
+    import os
+
+    if os.environ.get("RTT_SKIP_INTERPRET") == "1":
+        pytest.skip("interpret disabled")
+    from ray_tracying_tpu.kernels import closest_hit as CH
+
+    d = minimal_camera()
+    d["spheres"] = [
+        {"location": [x, 5 + 0.3 * x, 0.1 * x], "radius": 0.5}
+        for x in range(-3, 4)
+    ]
+    d["cubes"] = [{"translation": [0, 9, 0], "rotation": [0.1, 0.2, 0.3]}]
+    d["planes"] = [
+        {"corners": [[-9, 12, -9], [9, 12, -9], [9, 12, 9], [-9, 12, 9]]}
+    ]
+    s = load_scene_dict(d)
+    assert s.n_geoms == 9
+    monkeypatch.setattr(CH, "BRUTE_SMEM_MAX_GEOMS", 4)
+    monkeypatch.setattr(CH, "GEOM_CHUNK", 4)  # 9 geoms -> 3 chunks (padded)
+
+    rng = np.random.default_rng(2)
+    n = 48
+    o = jnp.asarray(rng.normal(size=(n, 3)) * 1.5, jnp.float32)
+    dd = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    dd = dd / jnp.linalg.norm(dd, axis=1, keepdims=True)
+    tm = jnp.zeros(n)
+
+    os.environ["RTT_PALLAS_INTERPRET"] = "1"
+    try:
+        t_k, id_k = CH.closest_hit_tid(s, o, dd, tm)
+    finally:
+        del os.environ["RTT_PALLAS_INTERPRET"]
+    tmat = I.all_hit_t(s, o, dd, tm)
+    t_ref = jnp.min(tmat, axis=1)
+    id_ref = jnp.where(
+        jnp.isfinite(t_ref), jnp.argmin(tmat, axis=1).astype(jnp.int32), -1
+    )
+    np.testing.assert_allclose(
+        np.asarray(t_k), np.asarray(t_ref), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(id_k), np.asarray(id_ref))
