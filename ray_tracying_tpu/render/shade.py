@@ -94,33 +94,12 @@ def shade(
         # lights (Code/raytracer.cpp:207).
         s = light_samples if scene.lights.is_area[li] else 1
 
-        k_l = jax.random.fold_in(key, li)
-        if scene.lights.is_area[li]:
-            offs = uniform_in_unit_sphere(k_l, (r, s)) * l_radius  # (R, S, 3)
-            targets = l_pos + offs
-        else:
-            targets = jnp.broadcast_to(l_pos, (r, s, 3))
-
-        lv = targets - p[:, None, :]                    # (R, S, 3)
-        l_dist = safe_sqrt(dot(lv, lv))                 # (R, S)
-        l_dir = normalize(lv)
-        so = jnp.broadcast_to(shadow_o[:, None, :], (r, s, 3)).reshape(r * s, 3)
-        sd = l_dir.reshape(r * s, 3)
-        s_act = (
-            None
-            if active is None
-            else jnp.broadcast_to(active[:, None], (r, s)).reshape(r * s)
-        )
-        # Shadow rays carry time = 0 (Ray default member init,
-        # Code/shapes.hpp:28) — motion blur does NOT apply to them.
-        # Visibility via the any-hit kernel: visible iff NO blocker at
-        # t <= light_dist == shadow_hit.t > light_dist.
-        blocked = occluded(
-            scene, so, sd, l_dist.reshape(r * s), s_act, use_bvh
-        ).reshape(r, s)
-        visibility = jnp.mean(1.0 - blocked.astype(jnp.float32), axis=1)  # (R,)
-
-        # Blinn-Phong from the light center (:244-259).
+        # Blinn-Phong from the light center (:244-259), computed BEFORE the
+        # shadow pass so lanes whose contribution is exactly zero (e.g.
+        # surface facing away with no specular lobe) can skip visibility —
+        # their shadow result multiplies into zero either way, and extra
+        # dead lanes make the any-hit kernel's block early-exit fire
+        # sooner.
         lv_c = l_pos - p
         dist_sq = dot(lv_c, lv_c)
         l_distance = safe_sqrt(dist_sq)
@@ -143,6 +122,30 @@ def shade(
             )
             * atten[:, None]
         )
+        needs_vis = jnp.any(contribution != 0.0, axis=1)  # (R,)
+
+        k_l = jax.random.fold_in(key, li)
+        if scene.lights.is_area[li]:
+            offs = uniform_in_unit_sphere(k_l, (r, s)) * l_radius  # (R, S, 3)
+            targets = l_pos + offs
+        else:
+            targets = jnp.broadcast_to(l_pos, (r, s, 3))
+
+        lv = targets - p[:, None, :]                    # (R, S, 3)
+        l_dist = safe_sqrt(dot(lv, lv))                 # (R, S)
+        l_dir = normalize(lv)
+        so = jnp.broadcast_to(shadow_o[:, None, :], (r, s, 3)).reshape(r * s, 3)
+        sd = l_dir.reshape(r * s, 3)
+        s_act = needs_vis if active is None else (active & needs_vis)
+        s_act = jnp.broadcast_to(s_act[:, None], (r, s)).reshape(r * s)
+        # Shadow rays carry time = 0 (Ray default member init,
+        # Code/shapes.hpp:28) — motion blur does NOT apply to them.
+        # Visibility via the any-hit kernel: visible iff NO blocker at
+        # t <= light_dist == shadow_hit.t > light_dist.
+        blocked = occluded(
+            scene, so, sd, l_dist.reshape(r * s), s_act, use_bvh
+        ).reshape(r, s)
+        visibility = jnp.mean(1.0 - blocked.astype(jnp.float32), axis=1)  # (R,)
         final = final + contribution * visibility[:, None]
 
     return final
