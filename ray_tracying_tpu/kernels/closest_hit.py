@@ -48,7 +48,11 @@ from ray_tracying_tpu.kernels.geom_table import (
 )
 from ray_tracying_tpu.scene.types import Scene
 
-BLOCK_R = 1024
+# Rays per kernel block.  Swept on the bundled scene (BASELINE.md): one
+# closest-hit pass runs 78/150/214/231 M rays/s at 512/1024/2048/4096, but
+# bigger blocks skip fewer dead blocks in bounce levels — 2048 wins on
+# full frames (8.3M vs 7.9M primary rays/s at 1024, 8.2M at 4096).
+BLOCK_R = 2048
 _INF = float("inf")  # plain Python float: jnp scalars become captured consts
 
 
