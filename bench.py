@@ -33,13 +33,14 @@ def main():
     width, height = scene.camera.resolution
     n_rays = width * height * opts.samples_sqrt**2
 
-    # Warmup / compile.
-    rt.render_image(scene, opts, key=jax.random.key(0))
+    # Warmup / compile.  render_to_srgb_u8 = the reference's output
+    # encoding (gamma 1.1 + clamp + quantize, applied on device).
+    rt.render_to_srgb_u8(scene, opts, key=jax.random.key(0))
 
     trials = 2
     t0 = time.time()
     for i in range(trials):
-        rt.render_image(scene, opts, key=jax.random.key(i + 1))
+        rt.render_to_srgb_u8(scene, opts, key=jax.random.key(i + 1))
     dt = (time.time() - t0) / trials
 
     rays_per_s = n_rays / dt

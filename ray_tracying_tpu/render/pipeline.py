@@ -100,15 +100,11 @@ def _render_tile(
     return jnp.mean(colors.reshape(rows, width, spp, 3), axis=2)
 
 
-def render_image(
-    scene: Scene,
-    opts: Optional[RenderOptions] = None,
-    key: Optional[jax.Array] = None,
-) -> np.ndarray:
-    """Render the full image -> (H, W, 3) float32 linear radiance."""
-    opts = opts or RenderOptions()
-    if key is None:
-        key = jax.random.key(0)
+def _render_tiles(scene, opts, key, post=None, out_dtype=np.float32):
+    """Shared tile loop.  post: optional jitted device-side postprocess
+    applied per tile before the host copy (e.g. uint8 quantization — the
+    device->host link can be orders of magnitude slower than HBM, so
+    shrinking the transfer matters more than the extra device op)."""
     if opts.use_bvh and scene.bvh_geoms is None:
         from ray_tracying_tpu.accel.lbvh import with_bvh
 
@@ -125,31 +121,40 @@ def render_image(
     tile_idx = 0
     while y0 < height:
         k_tile = jax.random.fold_in(key, tile_idx)
-        tiles.append(
-            (
-                y0,
-                min(rows, height - y0),
-                _render_tile(
-                    scene,
-                    jnp.float32(y0),
-                    k_tile,
-                    rows,
-                    width,
-                    opts.samples_sqrt,
-                    opts.light_samples,
-                    opts.queue_mult,
-                    opts.use_bvh,
-                    opts.min_throughput,
-                ),
-            )
+        tile = _render_tile(
+            scene,
+            jnp.float32(y0),
+            k_tile,
+            rows,
+            width,
+            opts.samples_sqrt,
+            opts.light_samples,
+            opts.queue_mult,
+            opts.use_bvh,
+            opts.min_throughput,
         )
+        if post is not None:
+            tile = post(tile)
+        tiles.append((y0, min(rows, height - y0), tile))
         y0 += min(rows, height - y0)
         tile_idx += 1
 
-    out = np.zeros((height, width, 3), np.float32)
+    out = np.zeros((height, width, 3), out_dtype)
     for y0, take, tile in tiles:
         out[y0 : y0 + take] = np.asarray(tile)[:take]
     return out
+
+
+def render_image(
+    scene: Scene,
+    opts: Optional[RenderOptions] = None,
+    key: Optional[jax.Array] = None,
+) -> np.ndarray:
+    """Render the full image -> (H, W, 3) float32 linear radiance."""
+    opts = opts or RenderOptions()
+    if key is None:
+        key = jax.random.key(0)
+    return _render_tiles(scene, opts, key)
 
 
 def linear_to_srgb_u8(linear: jnp.ndarray) -> jnp.ndarray:
@@ -163,6 +168,13 @@ def render_to_srgb_u8(
     opts: Optional[RenderOptions] = None,
     key: Optional[jax.Array] = None,
 ) -> np.ndarray:
-    """Render and quantize to the reference's output encoding."""
-    linear = render_image(scene, opts, key)
-    return np.asarray(linear_to_srgb_u8(jnp.asarray(linear)))
+    """Render and quantize to the reference's output encoding.
+
+    Quantization runs on device per tile so only uint8 crosses the
+    device->host link (4x less traffic than linear f32)."""
+    opts = opts or RenderOptions()
+    if key is None:
+        key = jax.random.key(0)
+    return _render_tiles(
+        scene, opts, key, post=jax.jit(linear_to_srgb_u8), out_dtype=np.uint8
+    )
