@@ -37,6 +37,9 @@ def render_linear(
         opts.samples_sqrt,
         opts.light_samples,
         opts.queue_mult,
+        opts.use_bvh,
+        opts.min_throughput,
+        differentiable=True,
     )
 
 

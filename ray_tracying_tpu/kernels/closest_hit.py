@@ -82,14 +82,20 @@ class RayBlock:
         )
 
 
-def geom_t(g, table_ref, rb: RayBlock, spec):
+def geom_t(g, table_ref, rb: RayBlock, spec, want_normal=False):
     """Hit distance of geom-table row g against the ray block.
 
     spec: dict of static flags {spheres, cubes, rects, planes, motion}.
     When exactly one kind flag is set and spec["single"] is true, the
     per-row kind dispatch compiles away entirely (the kind-split kernels
     run one such loop per kind over a kind-sorted table).
-    Returns (t_geom (R,) with +inf miss, gid scalar)."""
+    Returns (t_geom (R,) with +inf miss, gid scalar) — plus, when
+    want_normal, the UNnormalized world-space hit normal (3 vectors;
+    reference semantics: sphere = local point, cube = entry face even when
+    the exit t is used (Code/shapes.cpp:392-402), rect = +z, plane = face
+    normal; world mapping is the inverse-transpose w2o^T
+    (Code/shapes.cpp:178-187), with normalization deferred to the caller).
+    """
     single = spec.get("single", False)
     # Table is stored transposed (17, G): SMEM pads the minor dimension of
     # every row to 512 bytes, so (G, 17) would cost 512 B/geom and overflow
@@ -99,6 +105,8 @@ def geom_t(g, table_ref, rb: RayBlock, spec):
     kind = c[15]
 
     t_geom = jnp.full(rb.ox.shape, _INF, jnp.float32)
+    zero = jnp.zeros(rb.ox.shape, jnp.float32)
+    nlx = nly = nlz = zero  # object-space normal of the winning kind
 
     if spec["spheres"] or spec["cubes"] or spec["rects"]:
         # Motion-blurred origin (Code/shapes.cpp:201-210), then
@@ -126,11 +134,24 @@ def geom_t(g, table_ref, rb: RayBlock, spec):
             a_safe = jnp.where(a > 0.0, a, 1.0)
             t1 = (-b - sq) / (2.0 * a_safe)
             t2 = (-b + sq) / (2.0 * a_safe)
-            t_sph = jnp.where(
+            t_loc = jnp.where(
                 t1 > C.EPS_T_MIN, t1, jnp.where(t2 > C.EPS_T_MIN, t2, _INF)
             )
-            t_sph = jnp.where((disc >= 0.0) & (a > 0.0), t_sph, _INF)
-            t_sph = t_sph * rb.dnorm
+            t_loc = jnp.where((disc >= 0.0) & (a > 0.0), t_loc, _INF)
+            t_sph = t_loc * rb.dnorm
+            if want_normal:
+                # n_loc = local hit point (unit sphere, Code/shapes.cpp:241)
+                tl = jnp.where(jnp.isfinite(t_loc), t_loc, 0.0)
+                sx = olx + tl * dlx
+                sy = oly + tl * dly
+                sz = olz + tl * dlz
+                if single:
+                    nlx, nly, nlz = sx, sy, sz
+                else:
+                    is_k = kind == 0.0
+                    nlx = jnp.where(is_k, sx, nlx)
+                    nly = jnp.where(is_k, sy, nly)
+                    nlz = jnp.where(is_k, sz, nlz)
             t_geom = t_sph if single else jnp.where(kind == 0.0, t_sph, t_geom)
 
         if spec["cubes"]:
@@ -138,6 +159,8 @@ def geom_t(g, table_ref, rb: RayBlock, spec):
             t_near = jnp.full_like(olx, -_INF)
             t_far = jnp.full_like(olx, _INF)
             miss = jnp.zeros(olx.shape, jnp.bool_)
+            ents = []
+            sgns = []
             for oo, ddc in ((olx, dlx), (oly, dly), (olz, dlz)):
                 par = jnp.abs(ddc) < C.EPS_PARALLEL
                 d_safe = jnp.where(par, 1.0, ddc)
@@ -148,10 +171,32 @@ def geom_t(g, table_ref, rb: RayBlock, spec):
                 miss = miss | (par & ((oo < -0.5) | (oo > 0.5)))
                 t_near = jnp.maximum(t_near, ent)
                 t_far = jnp.minimum(t_far, ext)
+                if want_normal:
+                    ents.append(ent)
+                    sgns.append(jnp.where(s1 < s2, -1.0, 1.0))
             miss = miss | (t_near > t_far) | (t_far < 0.0)
             t_cub = jnp.where(t_near > 0.0, t_near, t_far)
             t_cub = jnp.where(miss | (t_cub < 0.0), _INF, t_cub)
             t_cub = t_cub * rb.dnorm
+            if want_normal:
+                # Entry face: the axis whose slab entry won the max; ties
+                # break to the LAST axis like the reference's sequential
+                # `>=`-less update (it keeps the first max; argmax keeps
+                # first too — replicate first-wins with strict >).
+                ax0 = ents[0]
+                win1 = ents[1] > ax0
+                axv = jnp.where(win1, ents[1], ax0)
+                win2 = ents[2] > axv
+                cx = jnp.where(win1 | win2, 0.0, sgns[0])
+                cy = jnp.where(win2, 0.0, jnp.where(win1, sgns[1], 0.0))
+                cz = jnp.where(win2, sgns[2], 0.0)
+                if single:
+                    nlx, nly, nlz = cx, cy, cz
+                else:
+                    is_k = kind == 1.0
+                    nlx = jnp.where(is_k, cx, nlx)
+                    nly = jnp.where(is_k, cy, nly)
+                    nlz = jnp.where(is_k, cz, nlz)
             t_geom = t_cub if single else jnp.where(kind == 1.0, t_cub, t_geom)
 
         if spec["rects"]:
@@ -167,7 +212,27 @@ def geom_t(g, table_ref, rb: RayBlock, spec):
             )
             t_rec = jnp.where(ok_r, t_r, _INF)
             t_rec = t_rec * rb.dnorm
+            if want_normal:
+                # n_loc = +z (Code/shapes.cpp:320)
+                one = jnp.ones(rb.ox.shape, jnp.float32)
+                if single:
+                    nlx, nly, nlz = zero, zero, one
+                else:
+                    is_k = kind == 2.0
+                    nlx = jnp.where(is_k, 0.0, nlx)
+                    nly = jnp.where(is_k, 0.0, nly)
+                    nlz = jnp.where(is_k, 1.0, nlz)
             t_geom = t_rec if single else jnp.where(kind == 2.0, t_rec, t_geom)
+
+        if want_normal and (
+            spec["spheres"] or spec["cubes"] or spec["rects"]
+        ):
+            # World normal via inverse-transpose: n_w = w2o^T n_loc
+            # (Code/shapes.cpp:178-187); normalization deferred.
+            nwx = c[0] * nlx + c[4] * nly + c[8] * nlz
+            nwy = c[1] * nlx + c[5] * nly + c[9] * nlz
+            nwz = c[2] * nlx + c[6] * nly + c[10] * nlz
+            nlx, nly, nlz = nwx, nwy, nwz
 
     if spec["planes"]:
         # Legacy quad, parametric t (Code/shapes.cpp:444-483); the 12
@@ -215,8 +280,20 @@ def geom_t(g, table_ref, rb: RayBlock, spec):
         )
         ok = (~degen) & (~par) & (t >= 0.0) & (in_t1 | in_t2)
         t_pl = jnp.where(ok, t, _INF)
+        if want_normal:
+            # Plane normal is already world-space (Code/shapes.cpp:454).
+            one = jnp.ones(rb.ox.shape, jnp.float32)
+            if single:
+                nlx, nly, nlz = nx * one, ny * one, nz * one
+            else:
+                is_k = kind == 3.0
+                nlx = jnp.where(is_k, nx, nlx)
+                nly = jnp.where(is_k, ny, nly)
+                nlz = jnp.where(is_k, nz, nlz)
         t_geom = t_pl if single else jnp.where(kind == 3.0, t_pl, t_geom)
 
+    if want_normal:
+        return t_geom, gid, (nlx, nly, nlz)
     return t_geom, gid
 
 
@@ -234,6 +311,22 @@ def geom_step(g, carry, table_ref, rb: RayBlock, spec, enable=None):
     best_t = jnp.where(better, t_geom, best_t)
     best_id = jnp.where(better, jnp.round(gid).astype(jnp.int32), best_id)
     return best_t, best_id
+
+
+def geom_step_n(g, carry, table_ref, rb: RayBlock, spec):
+    """geom_step variant that also carries the winning world normal
+    (unnormalized; normalized once after the loop)."""
+    best_t, best_id, bnx, bny, bnz = carry
+    t_geom, gid, (nwx, nwy, nwz) = geom_t(
+        g, table_ref, rb, spec, want_normal=True
+    )
+    better = t_geom < best_t
+    best_t = jnp.where(better, t_geom, best_t)
+    best_id = jnp.where(better, jnp.round(gid).astype(jnp.int32), best_id)
+    bnx = jnp.where(better, nwx, bnx)
+    bny = jnp.where(better, nwy, bny)
+    bnz = jnp.where(better, nwz, bnz)
+    return best_t, best_id, bnx, bny, bnz
 
 
 def _kind_spec(kind: int, motion: bool) -> dict:
@@ -455,6 +548,102 @@ def closest_hit_tid(scene: Scene, o, d, time, active=None):
         t, pid = _brute_call(rays, table, ranges, scene.has_motion)
     pid = jnp.where(jnp.isfinite(t), pid, -1)
     return t[:r], pid[:r]
+
+
+# ---------------------------------------------------------------------------
+# Closest hit with fused normals: pass-2 geometry reconstruction folded
+# into the kernel loop, so hit attributes inherit dead-block skipping and
+# never round-trip HBM.  (The world hit POINT needs no per-geom data at
+# all: for affine TRS prims with motion advection, o2w(p_loc) + v*t ==
+# o + t_loc*d exactly, and t_world = t_loc*|d|, so point = o + t*d_unit;
+# computed by the caller.)
+# ---------------------------------------------------------------------------
+
+def _brute_n_kernel(rays_ref, table_ref, t_ref, id_ref, n_ref, *, ranges, motion):
+    act = rays_ref[7, :]
+    t_ref[0, :] = jnp.full((BLOCK_R,), _INF, jnp.float32)
+    id_ref[0, :] = jnp.full((BLOCK_R,), -1, jnp.int32)
+    n_ref[...] = jnp.zeros((3, BLOCK_R), jnp.float32)
+
+    @pl.when(jnp.max(act) > 0.0)
+    def _():
+        rb = RayBlock(rays_ref)
+        zero = jnp.zeros(rb.ox.shape, jnp.float32)
+        best = (
+            jnp.full(rb.ox.shape, _INF, jnp.float32),
+            jnp.full(rb.ox.shape, -1, jnp.int32),
+            zero, zero, zero,
+        )
+        for kind, start, end in ranges:
+            spec = _kind_spec(kind, motion)
+            best = lax.fori_loop(
+                start,
+                end,
+                lambda g, cr, spec=spec: geom_step_n(g, cr, table_ref, rb, spec),
+                best,
+            )
+        best_t, best_id, bnx, bny, bnz = best
+        # Normalize the winning normal once (Code/shapes.cpp:186).
+        ln = jnp.sqrt(bnx * bnx + bny * bny + bnz * bnz)
+        ln = jnp.where(ln > 0.0, ln, 1.0)
+        t_ref[0, :] = best_t
+        id_ref[0, :] = best_id
+        n_ref[0, :] = bnx / ln
+        n_ref[1, :] = bny / ln
+        n_ref[2, :] = bnz / ln
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _brute_n_call(rays, table, ranges, motion):
+    r_pad = rays.shape[1]
+    kernel = functools.partial(_brute_n_kernel, ranges=ranges, motion=motion)
+    t, pid, n = pl.pallas_call(
+        kernel,
+        grid=(r_pad // BLOCK_R,),
+        in_specs=[
+            pl.BlockSpec((8, BLOCK_R), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BLOCK_R), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_R), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, BLOCK_R), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, r_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, r_pad), jnp.int32),
+            jax.ShapeDtypeStruct((3, r_pad), jnp.float32),
+        ],
+        interpret=pallas_interpret(),
+    )(rays, table)
+    return t[0], pid[0], n
+
+
+def _brute_n_fwd(rays, table, ranges, motion):
+    return _brute_n_call(rays, table, ranges, motion), None
+
+
+def _brute_n_bwd(ranges, motion, _res, _ct):
+    # Inference-only fast path: the differentiable renderer uses the
+    # pass-2 reconstruction instead (render/intersect.py).
+    return None, None
+
+
+_brute_n_call.defvjp(_brute_n_fwd, _brute_n_bwd)
+
+
+def closest_hit_tid_n(scene: Scene, o, d, time, active=None):
+    """Closest hit with fused world normals: (t, geom_id, normal (R,3)).
+
+    Inference fast path — gradients do not flow (use the pass-2 path for
+    differentiable rendering)."""
+    r = o.shape[0]
+    rays, _ = pack_rays(o, d, time, active)
+    table, ranges = pack_geom_table_sorted(scene)
+    table = lax.stop_gradient(table.T)
+    t, pid, n = _brute_n_call(rays, table, ranges, scene.has_motion)
+    pid = jnp.where(jnp.isfinite(t), pid, -1)
+    return t[:r], pid[:r], n[:, :r].T
 
 
 # ---------------------------------------------------------------------------

@@ -149,6 +149,7 @@ def trace_wavefront(
     use_bvh: bool = False,
     min_throughput: float = 0.0,
     compact: str = "auto",
+    differentiable: bool = False,
 ) -> jnp.ndarray:
     """Trace R primary rays to completion.  Returns (R, 3) radiance.
 
@@ -210,7 +211,9 @@ def trace_wavefront(
     def level_body(carry, depth):
         accum, q = carry
         k_level = jax.random.fold_in(key, depth)
-        hit = closest_hit(scene, q.o, q.d, q.time, q.active, use_bvh)
+        hit = closest_hit(
+            scene, q.o, q.d, q.time, q.active, use_bvh, differentiable
+        )
         act = q.active & hit.valid
         missed = q.active & ~hit.valid
 

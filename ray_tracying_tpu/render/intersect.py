@@ -399,13 +399,21 @@ def _plane_attributes(scene: Scene, qid, o, d):
     return p, n, u, v, t
 
 
-def closest_hit(scene: Scene, o, d, time, active=None, use_bvh=False) -> Hit:
+def closest_hit(
+    scene: Scene, o, d, time, active=None, use_bvh=False, differentiable=True
+) -> Hit:
     """Full closest-hit: pass-1 winner search then pass-2 attribute rebuild.
 
     Pass 1 runs as the Pallas megakernel on TPU (kernels/closest_hit.py) or
     the dense jnp reduction elsewhere; both produce identical winners.
     Pass 2 is pure differentiable jnp either way (gradients flow to scene
-    parameters with the hit id held fixed)."""
+    parameters with the hit id held fixed).
+
+    differentiable=False selects the fused-attribute kernel on TPU when the
+    scene allows it (no textures -> no uv needed): the hit normal is
+    accumulated inside the kernel loop, the point is o + t*d (exact for
+    affine TRS prims incl. motion advection), and pass-2 is skipped
+    entirely.  Hit attributes then carry no gradients — inference only."""
     n_geoms = scene.n_geoms
     if n_geoms == 0:
         r = o.shape[0]
@@ -421,8 +429,30 @@ def closest_hit(scene: Scene, o, d, time, active=None, use_bvh=False) -> Hit:
         from ray_tracying_tpu.kernels.closest_hit import (
             BRUTE_SMEM_MAX_GEOMS,
             closest_hit_tid,
+            closest_hit_tid_n,
         )
 
+        if (
+            not differentiable
+            and not use_bvh
+            and not scene.has_textures
+            and scene.n_geoms <= BRUTE_SMEM_MAX_GEOMS
+        ):
+            # Fused-attribute fast path: normal from the kernel, point
+            # from o + t*d, no pass-2.
+            t_min, gid, normal = closest_hit_tid_n(scene, o, d, time, active)
+            valid = jnp.isfinite(t_min)
+            t_fin = jnp.where(valid, t_min, 0.0)
+            point = o + t_fin[:, None] * d
+            r = o.shape[0]
+            return Hit(
+                valid=valid,
+                geom_id=jnp.where(valid, gid, -1),
+                t=jnp.where(valid, t_min, _INF),
+                point=point,
+                normal=normal,
+                uv=jnp.zeros((r, 2)),
+            )
         if (
             use_bvh
             and scene.bvh_geoms is not None

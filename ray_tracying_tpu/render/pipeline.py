@@ -43,7 +43,7 @@ class RenderOptions:
     jax.jit,
     static_argnames=(
         "rows", "width", "samples_sqrt", "light_samples", "queue_mult",
-        "use_bvh", "min_throughput",
+        "use_bvh", "min_throughput", "differentiable",
     ),
 )
 def _render_tile(
@@ -57,6 +57,7 @@ def _render_tile(
     queue_mult: int,
     use_bvh: bool = False,
     min_throughput: float = 0.0,
+    differentiable: bool = False,
 ):
     """Render a (rows, width) tile -> (rows, width, 3) linear radiance."""
     spp = samples_sqrt * samples_sqrt if samples_sqrt > 1 else 1
@@ -95,7 +96,7 @@ def _render_tile(
 
     colors = trace_wavefront(
         scene, o, d, times, k_trace, light_samples, queue_mult, use_bvh,
-        min_throughput,
+        min_throughput, "auto", differentiable,
     )  # (R, 3)
     return jnp.mean(colors.reshape(rows, width, spp, 3), axis=2)
 

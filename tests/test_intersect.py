@@ -258,3 +258,57 @@ def test_chunked_brute_kernel_interpret_matches_oracle(monkeypatch):
         np.asarray(t_k), np.asarray(t_ref), rtol=1e-5, atol=1e-6
     )
     np.testing.assert_array_equal(np.asarray(id_k), np.asarray(id_ref))
+
+
+def test_fused_normal_kernel_matches_pass2():
+    """Fused-attribute kernel (interpret): t/id/normal/point must match the
+    pass-2 reconstruction path on a scene with every primitive kind."""
+    import os
+
+    if os.environ.get("RTT_SKIP_INTERPRET") == "1":
+        pytest.skip("interpret disabled")
+    d = minimal_camera()
+    d["spheres"] = [
+        {"location": [0, 5, 0], "radius": 1.0},
+        {"location": [2, 6, 0.5], "rotation": [0.3, 0.2, 0.7],
+         "scale": [0.8, 0.5, 1.2], "velocity": [1.0, 0.0, 0.0]},
+    ]
+    d["cubes"] = [{"translation": [-2, 7, 0], "rotation": [0.1, 0.9, 0.4],
+                   "scale": [0.7, 1.1, 0.6]}]
+    d["rectangles"] = [{"translation": [0, 9, 0], "rotation": [1.0, 0.2, 0.0],
+                        "scale": [6.0, 6.0, 1.0]}]
+    d["planes"] = [
+        {"corners": [[-9, 12, -9], [9, 12, -9], [9, 12, 9], [-9, 12, 9]]}
+    ]
+    s = load_scene_dict(d)
+    rng = np.random.default_rng(3)
+    n = 96
+    o = jnp.asarray(rng.normal(size=(n, 3)) * 1.5, jnp.float32)
+    dd = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    dd = dd / jnp.linalg.norm(dd, axis=1, keepdims=True)
+    tm = jnp.asarray(rng.uniform(0.0, 1.0, size=n), jnp.float32)
+
+    import os
+
+    os.environ["RTT_PALLAS_INTERPRET"] = "1"
+    try:
+        fast = I.closest_hit(s, o, dd, tm, differentiable=False)
+        slow = I.closest_hit(s, o, dd, tm, differentiable=True)
+    finally:
+        del os.environ["RTT_PALLAS_INTERPRET"]
+    np.testing.assert_array_equal(np.asarray(fast.valid), np.asarray(slow.valid))
+    m = np.asarray(fast.valid)
+    np.testing.assert_array_equal(
+        np.asarray(fast.geom_id)[m], np.asarray(slow.geom_id)[m]
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast.t)[m], np.asarray(slow.t)[m], rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast.point)[m], np.asarray(slow.point)[m],
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast.normal)[m], np.asarray(slow.normal)[m],
+        rtol=1e-4, atol=1e-4,
+    )
