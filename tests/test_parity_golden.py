@@ -59,6 +59,17 @@ def test_deterministic_parity(scene, golden):
 
 
 @needs_goldens
+def test_flagship_bvh_deterministic_parity():
+    """The bundled 140-cube stress scene (reference ASCII/scene.json) at
+    320x180 with roughness zeroed — the one scene the reference actually
+    ships, proven pixel-exact, not just benchmarked."""
+    img, gold = render_vs_golden("bvh_det", "bvh_det_s1.ppm", 1, 1)
+    diff = np.abs(img.astype(int) - gold.astype(int))
+    assert diff.max() <= 1, f"max uint8 diff {diff.max()}"
+    assert (diff > 0).mean() < 0.01, "too many off-by-one pixels"
+
+
+@needs_goldens
 @pytest.mark.parametrize(
     "scene,golden,s,ls",
     [
@@ -66,6 +77,7 @@ def test_deterministic_parity(scene, golden):
         ("dof", "dof_s6.ppm", 6, 1),
         ("motion", "motion_s6.ppm", 6, 1),
         ("glossy", "glossy_s6.ppm", 6, 1),
+        ("bvh_glossy", "bvh_glossy_s8.ppm", 8, 1),
     ],
 )
 def test_stochastic_parity(scene, golden, s, ls):
