@@ -1,6 +1,6 @@
 """Per-ray material record fetch.
 
-One packed (M, 14) table + a single one-hot matmul replaces eleven
+One packed (M, 15) table + a single one-hot matmul replaces eleven
 separate row gathers (see core/gather.py for why gathers are poison on
 TPU).  The record is fetched once per bounce level and shared by shading
 and child-ray spawning.
@@ -49,7 +49,7 @@ def gather_materials(scene: Scene, gid: jnp.ndarray) -> MatRec:
             m.tex_id[:, None].astype(jnp.float32),
         ],
         axis=1,
-    )  # (M, 14)
+    )  # (M, 15): 3 diffuse + 3 specular + 9 scalar columns (tex_id is col 14)
     rec = onehot_gather(packed, gid)
     return MatRec(
         diffuse=rec[:, 0:3],
