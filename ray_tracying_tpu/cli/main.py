@@ -49,6 +49,8 @@ def parse_args(argv):
             opts["output_dir"] = argv[i + 1]; i += 1
         elif a == "--seed" and i + 1 < len(argv):
             opts["seed"] = int(argv[i + 1]); i += 1
+        elif a == "--stats":
+            opts["stats"] = True
         else:
             print(f"Warning: ignoring unknown argument {a!r}", file=sys.stderr)
         i += 1
@@ -95,9 +97,34 @@ def main(argv=None) -> int:
         "light sampling points ..."
     )
     t0 = time.time()
-    img = rt.render_to_srgb_u8(
-        scene, render_opts, key=jax.random.key(opts.get("seed", 0))
-    )
+    if opts.get("stats"):
+        # Diagnostic mode: per-level live/hit/spawn/drop counters + per-tile
+        # timings as JSON lines (the reference's only observability is a
+        # progress print every 100 rows, Code/raytracer.cpp:473-475).
+        import json
+
+        from ray_tracying_tpu.render.pipeline import (
+            linear_to_srgb_u8, render_with_stats,
+        )
+
+        linear, stats = render_with_stats(
+            scene, render_opts, key=jax.random.key(opts.get("seed", 0))
+        )
+        img = jax.device_get(jax.jit(linear_to_srgb_u8)(linear))
+        for row in stats["levels"]:
+            print(json.dumps(row))
+        for row in stats["tiles"]:
+            print(json.dumps(row))
+        if stats["total_dropped"]:
+            print(
+                f"WARNING: {stats['total_dropped']} continuation rays dropped "
+                "by compacted-queue overflow — raise queue_mult",
+                file=sys.stderr,
+            )
+    else:
+        img = rt.render_to_srgb_u8(
+            scene, render_opts, key=jax.random.key(opts.get("seed", 0))
+        )
     dt = time.time() - t0
     spp = opts["samples_sqrt"] ** 2 if opts["samples_sqrt"] > 1 else 1
     mrays = width * height * spp / dt / 1e6

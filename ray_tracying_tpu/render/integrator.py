@@ -59,15 +59,32 @@ class _Queue(NamedTuple):
     active: jnp.ndarray  # (Cap,) bool
 
 
-def _compact(cands: _Queue, keep: jnp.ndarray, capacity: int) -> _Queue:
+class TraceStats(NamedTuple):
+    """Per-level integrator counters (one row per bounce level).
+
+    The reference has no observability at all (SURVEY.md §5); these are the
+    TPU build's per-pass instrumentation — in particular `dropped` makes the
+    compacted queue's overflow policy (see _compact) impossible to miss."""
+
+    live: jnp.ndarray     # (L,) int32 — active queue slots entering the level
+    hits: jnp.ndarray     # (L,) int32 — rays that hit geometry this level
+    spawned: jnp.ndarray  # (L,) int32 — continuations emitted by this level
+    dropped: jnp.ndarray  # (L,) int32 — continuations lost to queue overflow
+
+
+def _compact(cands: _Queue, keep: jnp.ndarray, capacity: int):
     """Stream-compact candidate slots where keep is True into a queue of
     `capacity` slots; overflow beyond capacity is dropped in order.
+    Returns (queue, dropped) where dropped counts the lost continuations
+    (always surfaced through TraceStats so the loss cannot be silent).
 
     Implemented as ONE stable multi-operand lax.sort on the dead flag:
     XLA lowers a scatter with computed indices to a serial per-element
     loop on TPU (measured ~380ms for 4M slots vs ~39ms for the sort), so
     cumsum-scatter compaction is off the table."""
-    count = jnp.minimum(jnp.sum(keep.astype(jnp.int32)), capacity)
+    n_keep = jnp.sum(keep.astype(jnp.int32))
+    count = jnp.minimum(n_keep, capacity)
+    dropped = n_keep - count
     dead = jnp.where(keep, 0, 1).astype(jnp.int32)
     ops = jax.lax.sort(
         (
@@ -82,7 +99,7 @@ def _compact(cands: _Queue, keep: jnp.ndarray, capacity: int) -> _Queue:
     (_, ox, oy, oz, dx, dy, dz, time, tp, dest) = (
         op[:capacity] for op in ops
     )
-    return _Queue(
+    q = _Queue(
         o=jnp.stack([ox, oy, oz], axis=1),
         d=jnp.stack([dx, dy, dz], axis=1),
         time=time,
@@ -90,6 +107,7 @@ def _compact(cands: _Queue, keep: jnp.ndarray, capacity: int) -> _Queue:
         dest=dest,
         active=jnp.arange(capacity) < count,
     )
+    return q, dropped
 
 
 def _cat(queues) -> _Queue:
@@ -150,8 +168,11 @@ def trace_wavefront(
     min_throughput: float = 0.0,
     compact: str = "auto",
     differentiable: bool = False,
+    return_stats: bool = False,
 ) -> jnp.ndarray:
-    """Trace R primary rays to completion.  Returns (R, 3) radiance.
+    """Trace R primary rays to completion.  Returns (R, 3) radiance, or
+    (radiance, TraceStats) when return_stats — per-level live/hit/spawn/drop
+    counters (one extra sum per level; negligible next to the trace).
 
     use_bvh routes closest-hit through the LBVH traversal kernel (same
     image; mirrors the reference -bvh flag, Code/raytracer.cpp:369).
@@ -177,7 +198,13 @@ def trace_wavefront(
 
     if scene.n_geoms == 0:
         # Nothing can be hit: every ray takes the background path.
-        return jnp.broadcast_to(bg, (r, 3))
+        out = jnp.broadcast_to(bg, (r, 3))
+        if return_stats:
+            z = jnp.zeros(1, jnp.int32)
+            return out, TraceStats(
+                live=jnp.full(1, r, jnp.int32), hits=z, spawned=z, dropped=z
+            )
+        return out
 
     two_way = scene.has_reflection and scene.has_refraction
     spawn = scene.has_reflection or scene.has_refraction
@@ -216,6 +243,9 @@ def trace_wavefront(
         )
         act = q.active & hit.valid
         missed = q.active & ~hit.valid
+        if return_stats:
+            live_in = jnp.sum(q.active.astype(jnp.int32))
+            n_hit = jnp.sum(act.astype(jnp.int32))
 
         mrec = gather_materials(scene, hit.geom_id)
         local = shade(
@@ -244,9 +274,20 @@ def trace_wavefront(
             # In-slot accumulation: dest is identically arange(r).
             accum = accum + contrib
 
-        if not spawn:
-            return (accum, q), None
+        def stats_row(spawned_mask, dropped):
+            if not return_stats:
+                return None
+            return (
+                live_in,
+                n_hit,
+                jnp.sum(spawned_mask.astype(jnp.int32)),
+                dropped,
+            )
 
+        if not spawn:
+            return (accum, q), stats_row(jnp.zeros((), bool), jnp.int32(0))
+
+        dropped = jnp.int32(0)
         if two_way:
             c_refl = _spawn_reflection(
                 scene, q, hit, mrec, act, k_level, capacity, min_throughput
@@ -255,7 +296,8 @@ def trace_wavefront(
                 scene, q, hit, mrec, act, capacity, min_throughput
             )
             cand = _cat([c_refl, c_refr])
-            q = _compact(cand, cand.active, capacity)
+            q, dropped = _compact(cand, cand.active, capacity)
+            spawned_mask = cand.active
         else:
             if scene.has_reflection:
                 q = _spawn_reflection(
@@ -265,20 +307,25 @@ def trace_wavefront(
                 q = _spawn_refraction(
                     scene, q, hit, mrec, act, capacity, min_throughput
                 )
+            spawned_mask = q.active
             if do_compact:
-                q = _compact(q, q.active, capacity)
-        return (accum, q), None
+                q, dropped = _compact(q, q.active, capacity)
+        return (accum, q), stats_row(spawned_mask, dropped)
 
     if not spawn:
         # Purely local scene: one level suffices.
-        (accum, _), _ = level_body((accum, q), jnp.int32(0))
+        (accum, _), row = level_body((accum, q), jnp.int32(0))
+        if return_stats:
+            return accum, TraceStats(*(v[None] for v in row))
         return accum
 
     # 11 levels (depth 0..10); children spawned by the last iteration are
     # never consumed, reproducing "depth > 10 -> black".
-    (accum, _), _ = jax.lax.scan(
+    (accum, _), rows = jax.lax.scan(
         level_body,
         (accum, q),
         jnp.arange(C.MAX_RECURSION_DEPTH + 1, dtype=jnp.int32),
     )
+    if return_stats:
+        return accum, TraceStats(*rows)
     return accum

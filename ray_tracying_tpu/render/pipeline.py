@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import time
 from typing import Optional
 
 import jax
@@ -37,13 +38,16 @@ class RenderOptions:
     # semantics; positive values trade bounded uint8 error for speed (see
     # trace_wavefront docstring).
     min_throughput: float = 0.0
+    # Collect per-level TraceStats + per-tile timings (render_with_stats);
+    # forces per-tile sync, so use for diagnosis, not production renders.
+    stats: bool = False
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "rows", "width", "samples_sqrt", "light_samples", "queue_mult",
-        "use_bvh", "min_throughput", "differentiable",
+        "use_bvh", "min_throughput", "differentiable", "return_stats",
     ),
 )
 def _render_tile(
@@ -58,6 +62,7 @@ def _render_tile(
     use_bvh: bool = False,
     min_throughput: float = 0.0,
     differentiable: bool = False,
+    return_stats: bool = False,
 ):
     """Render a (rows, width) tile -> (rows, width, 3) linear radiance."""
     spp = samples_sqrt * samples_sqrt if samples_sqrt > 1 else 1
@@ -94,18 +99,24 @@ def _render_tile(
     # (Code/raytracer.cpp:37,61).
     times = jax.random.uniform(k_time, px.shape, jnp.float32)
 
-    colors = trace_wavefront(
+    out = trace_wavefront(
         scene, o, d, times, k_trace, light_samples, queue_mult, use_bvh,
-        min_throughput, "auto", differentiable,
-    )  # (R, 3)
-    return jnp.mean(colors.reshape(rows, width, spp, 3), axis=2)
+        min_throughput, "auto", differentiable, return_stats,
+    )
+    colors, stats = out if return_stats else (out, None)  # colors: (R, 3)
+    tile = jnp.mean(colors.reshape(rows, width, spp, 3), axis=2)
+    return (tile, stats) if return_stats else tile
 
 
 def _render_tiles(scene, opts, key, post=None, out_dtype=np.float32):
     """Shared tile loop.  post: optional jitted device-side postprocess
     applied per tile before the host copy (e.g. uint8 quantization — the
     device->host link can be orders of magnitude slower than HBM, so
-    shrinking the transfer matters more than the extra device op)."""
+    shrinking the transfer matters more than the extra device op).
+
+    Returns the image, or (image, stats dict) when opts.stats — per-level
+    TraceStats summed over tiles plus per-tile wall times (stats mode syncs
+    per tile, trading the async-dispatch overlap for observability)."""
     if opts.use_bvh and scene.bvh_geoms is None:
         from ray_tracying_tpu.accel.lbvh import with_bvh
 
@@ -118,10 +129,13 @@ def _render_tiles(scene, opts, key, post=None, out_dtype=np.float32):
     # queues them on device back-to-back, so the per-call host->device
     # round-trip latency is paid once, not per tile.
     tiles = []
+    level_acc = None
+    tile_times = []
     y0 = 0
     tile_idx = 0
     while y0 < height:
         k_tile = jax.random.fold_in(key, tile_idx)
+        t_start = time.time() if opts.stats else 0.0
         tile = _render_tile(
             scene,
             jnp.float32(y0),
@@ -133,7 +147,21 @@ def _render_tiles(scene, opts, key, post=None, out_dtype=np.float32):
             opts.queue_mult,
             opts.use_bvh,
             opts.min_throughput,
+            return_stats=opts.stats,
         )
+        if opts.stats:
+            tile, tstats = tile
+            tstats = jax.block_until_ready(tstats)
+            tile_times.append(
+                {
+                    "tile": tile_idx,
+                    "rows": min(rows, height - y0),
+                    "rays": min(rows, height - y0) * width * spp,
+                    "seconds": round(time.time() - t_start, 4),
+                }
+            )
+            rowsum = np.stack([np.asarray(f, np.int64) for f in tstats])
+            level_acc = rowsum if level_acc is None else level_acc + rowsum
         if post is not None:
             tile = post(tile)
         tiles.append((y0, min(rows, height - y0), tile))
@@ -143,7 +171,24 @@ def _render_tiles(scene, opts, key, post=None, out_dtype=np.float32):
     out = np.zeros((height, width, 3), out_dtype)
     for y0, take, tile in tiles:
         out[y0 : y0 + take] = np.asarray(tile)[:take]
-    return out
+    if not opts.stats:
+        return out
+    levels = [
+        {
+            "level": i,
+            "live": int(level_acc[0, i]),
+            "hits": int(level_acc[1, i]),
+            "spawned": int(level_acc[2, i]),
+            "dropped": int(level_acc[3, i]),
+        }
+        for i in range(level_acc.shape[1])
+    ]
+    stats = {
+        "levels": levels,
+        "tiles": tile_times,
+        "total_dropped": int(level_acc[3].sum()),
+    }
+    return out, stats
 
 
 def render_image(
@@ -151,8 +196,26 @@ def render_image(
     opts: Optional[RenderOptions] = None,
     key: Optional[jax.Array] = None,
 ) -> np.ndarray:
-    """Render the full image -> (H, W, 3) float32 linear radiance."""
+    """Render the full image -> (H, W, 3) float32 linear radiance.
+    With opts.stats, returns (image, stats dict) instead."""
     opts = opts or RenderOptions()
+    if key is None:
+        key = jax.random.key(0)
+    return _render_tiles(scene, opts, key)
+
+
+def render_with_stats(
+    scene: Scene,
+    opts: Optional[RenderOptions] = None,
+    key: Optional[jax.Array] = None,
+):
+    """Render with per-level instrumentation -> (linear image, stats dict).
+
+    stats["levels"]: per bounce level, live/hit/spawned/dropped ray counts
+    summed over tiles; stats["total_dropped"] counts continuations lost to
+    compacted-queue overflow (0 unless a mirror+glass scene out-branches
+    queue_mult); stats["tiles"]: per-tile wall seconds."""
+    opts = dataclasses.replace(opts or RenderOptions(), stats=True)
     if key is None:
         key = jax.random.key(0)
     return _render_tiles(scene, opts, key)

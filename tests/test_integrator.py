@@ -125,3 +125,133 @@ def test_queue_growth_mirror_plus_glass():
     c = trace_dirs(s, dirs)
     assert np.isfinite(c).all()
     assert (c >= 0).all()
+
+
+def test_stats_single_level_local_scene():
+    """No-spawn scene: stats has one level, live == R, hits == hit count."""
+    d = minimal_camera()
+    d["spheres"] = [{"location": [0, 5, 0], "radius": 1.0}]
+    s = load_scene_dict(d)
+    dirs = jnp.asarray([[0, 1, 0], [0, -1, 0], [0, 1, 0]], jnp.float32)
+    _, st = trace_wavefront(
+        s, jnp.zeros_like(dirs), dirs, jnp.zeros(3), jax.random.key(0), 1,
+        return_stats=True,
+    )
+    assert st.live.shape == (1,)
+    assert int(st.live[0]) == 3
+    assert int(st.hits[0]) == 2
+    assert int(st.spawned[0]) == 0
+    assert int(st.dropped[0]) == 0
+
+
+def _mirror_glass_scene():
+    d = minimal_camera()
+    d["lights"] = [
+        {"location": [0, 0, 5], "color": [1, 1, 1], "intensity": 200.0}
+    ]
+    d["spheres"] = [
+        {"location": [-1, 5, 0], "radius": 1.0,
+         "material": {"reflectivity": 0.5}},
+        {"location": [1.5, 5, 0], "radius": 1.0,
+         "material": {"transparency": 0.7, "refractive_index": 1.5}},
+    ]
+    return load_scene_dict(d)
+
+
+def test_stats_mirror_glass_no_drops_at_mult2():
+    """One-way branching per hit (no material both reflects and refracts):
+    queue_mult=2 must never overflow -> dropped identically zero, and the
+    live count entering each level equals the previous level's spawns."""
+    s = _mirror_glass_scene()
+    n = 64
+    k1, k2 = jax.random.split(jax.random.key(3))
+    dirs = jnp.concatenate(
+        [jax.random.uniform(k1, (n, 1)) * 0.8 - 0.4,
+         jnp.ones((n, 1)),
+         jax.random.uniform(k2, (n, 1)) * 0.4 - 0.2],
+        axis=1,
+    )
+    dirs = dirs / jnp.linalg.norm(dirs, axis=1, keepdims=True)
+    _, st = trace_wavefront(
+        s, jnp.zeros_like(dirs), dirs, jnp.zeros(n), jax.random.key(0), 1,
+        queue_mult=2, return_stats=True,
+    )
+    assert int(jnp.sum(st.dropped)) == 0
+    live = np.asarray(st.live)
+    spawned = np.asarray(st.spawned)
+    assert live[0] == n
+    np.testing.assert_array_equal(live[1:], spawned[:-1])
+
+
+def test_stats_zoo_scenes_no_drops_at_default_mult():
+    """The bundled demo zoo (incl. the mirror+glass cornell) must not drop
+    continuations at the default queue_mult=2."""
+    from ray_tracying_tpu.models.zoo import cornell
+
+    s = cornell(res=(16, 16))
+    assert s.has_reflection and s.has_refraction  # exercises 2-way compaction
+    n = 128
+    k = jax.random.key(7)
+    px = jax.random.uniform(jax.random.fold_in(k, 0), (n,)) * 16
+    py = jax.random.uniform(jax.random.fold_in(k, 1), (n,)) * 16
+    from ray_tracying_tpu.render.camera import pixel_rays
+
+    o, d = pixel_rays(s.camera, px, py, jax.random.fold_in(k, 2))
+    _, st = trace_wavefront(
+        s, o, d, jnp.zeros(n), jax.random.key(0), 1, queue_mult=2,
+        return_stats=True,
+    )
+    assert int(jnp.sum(st.dropped)) == 0
+
+
+def test_stats_overflow_is_counted():
+    """A material that BOTH reflects and refracts branches 2x per hit;
+    queue_mult=1 cannot hold the growth, and the drop counter must see it
+    (the drop itself is the documented overflow policy)."""
+    d = minimal_camera()
+    # Two parallel both-ways slabs: every hit spawns 2 children.
+    for y in (5.0, 7.0):
+        d.setdefault("rectangles", []).append(
+            {"translation": [0, y, 0], "rotation": [1.5707963, 0, 0],
+             "scale": [40, 40, 1],
+             "material": {"reflectivity": 0.5, "transparency": 0.5,
+                          "refractive_index": 1.0, "roughness": 0.0}}
+        )
+    s = load_scene_dict(d)
+    n = 8
+    dirs = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32), (n, 1))
+    _, st = trace_wavefront(
+        s, jnp.zeros_like(dirs), dirs, jnp.zeros(n), jax.random.key(0), 1,
+        queue_mult=1, return_stats=True,
+    )
+    assert int(jnp.sum(st.dropped)) > 0
+    # And the roomy queue sees none.
+    _, st2 = trace_wavefront(
+        s, jnp.zeros_like(dirs), dirs, jnp.zeros(n), jax.random.key(0), 1,
+        queue_mult=4, return_stats=True,
+    )
+    assert int(jnp.sum(st2.dropped)) == 0
+
+
+def test_stats_do_not_change_image():
+    s = _mirror_glass_scene()
+    dirs = jnp.asarray([[0, 1, 0], [0.2, 1, 0.1]], jnp.float32)
+    dirs = dirs / jnp.linalg.norm(dirs, axis=1, keepdims=True)
+    o = jnp.zeros_like(dirs)
+    t = jnp.zeros(2)
+    plain = trace_wavefront(s, o, dirs, t, jax.random.key(1), 1)
+    with_st, _ = trace_wavefront(
+        s, o, dirs, t, jax.random.key(1), 1, return_stats=True
+    )
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(with_st))
+
+
+def test_render_with_stats_pipeline():
+    from ray_tracying_tpu.render.pipeline import RenderOptions, render_with_stats
+
+    s = _mirror_glass_scene()
+    img, stats = render_with_stats(s, RenderOptions(samples_sqrt=1))
+    assert img.shape[2] == 3
+    assert stats["total_dropped"] == 0
+    assert stats["levels"][0]["live"] > 0
+    assert len(stats["tiles"]) >= 1
