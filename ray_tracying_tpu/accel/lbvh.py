@@ -147,8 +147,53 @@ def build_lbvh(
     )
 
 
+# Geoms per stream chunk for beyond-SMEM scenes.  A (17, CHUNK) f32 SMEM
+# block is 136 KB; the streaming kernel double-buffers it under the ~1 MB
+# SMEM budget (kernels/chunk_stream.py).
+CHUNK = 2048
+
+
+def build_chunks(scene: Scene, chunk: int = CHUNK):
+    """Morton-ordered geom chunks for the streaming kernels.
+
+    Returns (table (NC*chunk, 17), boxes (NC, 6)): the packed geom table
+    sorted by centroid Morton code (so consecutive rows are spatially
+    local and the per-chunk AABB stays tight), padded to a chunk multiple
+    with all-zero never-hit rows; boxes[c] bounds chunk c's real members
+    with the reference AABB semantics (incl. motion extent)."""
+    aabbs = geom_aabbs(scene)
+    centroids = (aabbs[:, :3] + aabbs[:, 3:]) * 0.5
+    order = np.argsort(morton_codes(centroids), kind="stable")
+    table = np.asarray(pack_geom_table(scene))[order]
+    sb = aabbs[order]
+    g = table.shape[0]
+    nc = -(-g // chunk)
+    pad = nc * chunk - g
+    if pad:
+        table = np.concatenate(
+            [table, np.zeros((pad, table.shape[1]), table.dtype)], axis=0
+        )
+    boxes = np.empty((nc, 6), np.float32)
+    for c in range(nc):
+        seg = sb[c * chunk : min((c + 1) * chunk, g)]
+        boxes[c, :3] = seg[:, :3].min(axis=0)
+        boxes[c, 3:] = seg[:, 3:].max(axis=0)
+    return table.astype(np.float32), boxes
+
+
+def with_chunks(scene: Scene, chunk: int = CHUNK) -> Scene:
+    """Attach the chunked-stream acceleration arrays (host build)."""
+    if scene.n_geoms == 0 or scene.chunk_geoms is not None:
+        return scene
+    table, boxes = build_chunks(scene, chunk)
+    return scene.replace(
+        chunk_geoms=jnp.asarray(table), chunk_boxes=jnp.asarray(boxes)
+    )
+
+
 def with_bvh(scene: Scene) -> Scene:
-    """Attach LBVH arrays to the scene (host build, device upload)."""
+    """Attach LBVH arrays to the scene (host build, device upload).
+    Beyond-SMEM scenes also get the chunked-stream structures."""
     if scene.n_geoms == 0:
         return scene
     aabbs = geom_aabbs(scene)
@@ -159,8 +204,13 @@ def with_bvh(scene: Scene) -> Scene:
     except Exception:
         boxes, topo, order = build_lbvh(aabbs)
     table = np.asarray(pack_geom_table(scene))[order]
-    return scene.replace(
+    scene = scene.replace(
         bvh_nodes_box=jnp.asarray(boxes),
         bvh_nodes_topo=jnp.asarray(topo),
         bvh_geoms=jnp.asarray(table),
     )
+    from ray_tracying_tpu.kernels.closest_hit import BRUTE_SMEM_MAX_GEOMS
+
+    if scene.n_geoms > BRUTE_SMEM_MAX_GEOMS:
+        scene = with_chunks(scene)
+    return scene

@@ -195,10 +195,21 @@ def _bvh_bwd(spec_key, _res, _ct):
 _bvh_call.defvjp(_bvh_fwd, _bvh_bwd)
 
 
-def closest_hit_tid_bvh(scene: Scene, o, d, time, active=None):
+def closest_hit_tid_bvh(scene: Scene, o, d, time, active=None, sort_rays=False):
     """BVH-accelerated closest hit; identical hit set to the brute-force
-    kernel.  Requires accel.with_bvh(scene)."""
+    kernel.  Requires accel.with_bvh(scene).
+
+    sort_rays: restore block coherence first (kernels/ray_sort.py) — the
+    incoherent-wavefront fix; identical results, order-invariant kernel."""
     assert scene.bvh_geoms is not None, "call accel.with_bvh(scene) first"
+    if sort_rays:
+        from ray_tracying_tpu.kernels.ray_sort import sorted_closest_hit
+
+        lo = lax.stop_gradient(scene.bvh_nodes_box[0, :3])
+        hi = lax.stop_gradient(scene.bvh_nodes_box[0, 3:])
+        return sorted_closest_hit(
+            closest_hit_tid_bvh, scene, o, d, time, active, lo, hi
+        )
     r = o.shape[0]
     rays, _ = pack_rays(o, d, time, active)
     spec_key = tuple(sorted(scene_spec(scene).items()))

@@ -512,17 +512,20 @@ _brute_chunked_call.defvjp(_brute_chunked_fwd, _brute_chunked_bwd)
 
 
 def pack_rays(o, d, time, active):
-    """(R,3)x2 + (R,) -> (8, R_pad) ray block array."""
+    """(R,3)x2 + (R,) -> (8, R_pad) ray block array.
+
+    One concatenate + pad, NOT an .at[].set chain: each dynamic-update-
+    slice re-copies the whole (8, R) buffer (~5 ms/level at 4M rays on the
+    xprof trace); a single concat fusion writes it once."""
     r = o.shape[0]
     r_pad = -(-r // BLOCK_R) * BLOCK_R
-    rays = jnp.zeros((8, r_pad), jnp.float32)
-    rays = rays.at[0:3, :r].set(o.T)
-    rays = rays.at[3:6, :r].set(d.T)
-    rays = rays.at[6, :r].set(time)
     if active is None:
-        rays = rays.at[7, :r].set(1.0)
+        act_row = jnp.ones((1, r), jnp.float32)
     else:
-        rays = rays.at[7, :r].set(active.astype(jnp.float32))
+        act_row = active.astype(jnp.float32)[None, :]
+    rays = jnp.concatenate([o.T, d.T, time[None, :], act_row], axis=0)
+    if r_pad > r:
+        rays = jnp.pad(rays, ((0, 0), (0, r_pad - r)))
     return lax.stop_gradient(rays), r_pad
 
 
@@ -743,8 +746,7 @@ def occluded_tid(scene: Scene, o, d, maxt, active=None):
     motion shift compiles away."""
     r = o.shape[0]
     rays, r_pad = pack_rays(o, d, jnp.zeros(r, jnp.float32), active)
-    mt = jnp.zeros((1, r_pad), jnp.float32)
-    mt = mt.at[0, :r].set(maxt)
+    mt = jnp.pad(maxt[None, :], ((0, 0), (0, r_pad - r)))
     table, ranges = pack_geom_table_sorted(scene, chunk=OCC_CHUNK)
     table = lax.stop_gradient(table.T)
     blocked = _occlusion_call(rays, lax.stop_gradient(mt), table, ranges, False)

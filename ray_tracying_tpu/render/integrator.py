@@ -169,6 +169,8 @@ def trace_wavefront(
     compact: str = "auto",
     differentiable: bool = False,
     return_stats: bool = False,
+    max_depth: int | None = None,
+    segments: int = 0,
 ) -> jnp.ndarray:
     """Trace R primary rays to completion.  Returns (R, 3) radiance, or
     (radiance, TraceStats) when return_stats — per-level live/hit/spawn/drop
@@ -192,8 +194,25 @@ def trace_wavefront(
     (rays die only on miss or at depth 11).  Positive values are a lossy
     speed knob: a killed ray changes its sample's linear radiance by at
     most tp * L_max, so small cutoffs perturb the uint8 image by at most
-    a few steps (measured: <= 2 at 5e-3 on the bundled bvh scene)."""
+    a few steps (measured: <= 2 at 5e-3 on the bundled bvh scene).
+
+    max_depth: recursion depth cutoff; None (default) = the reference's
+    MAX_RECURSION_DEPTH (10 -> 11 levels, Code/raytracer.hpp:11).
+
+    segments: split the in-slot queue into this many segments and gate
+    each level's ENTIRE body per segment on any(active) via lax.cond.
+    Motivation: bounce levels are mostly dead (the bench scene is 26% live
+    at level 1, < 3% from level 3) and the kernels' dead-block skip does
+    not save the per-level jnp glue.  MEASURED SLOWER on TPU v5e though:
+    the bench frame drops from 14.6 to 8.9 Mrays/s at 4 or 16 segments —
+    per-segment dispatch/cond overhead and the loss of cross-op pipelining
+    outweigh the skipped glue — so 0 (auto) currently means OFF; the knob
+    stays for experimentation on other topologies.  Deterministic scenes
+    are bit-identical either way; stochastic effects consume
+    segment-indexed RNG streams and differ within their sampling noise."""
     r = origins.shape[0]
+    if max_depth is None:
+        max_depth = C.MAX_RECURSION_DEPTH
     bg = jnp.asarray(C.BACKGROUND_RGB, jnp.float32)
 
     if scene.n_geoms == 0:
@@ -235,17 +254,79 @@ def trace_wavefront(
             active=jnp.concatenate([q.active, jnp.zeros(pad, bool)]),
         )
 
-    def level_body(carry, depth):
-        accum, q = carry
-        k_level = jax.random.fold_in(key, depth)
+    # --- segment gating (in-slot path only; see docstring; auto = OFF
+    # per the v5e measurement) ---
+    seg_n = segments
+    use_segments = (
+        spawn and not do_compact and not differentiable and segments > 1
+    )
+    if use_segments:
+        from ray_tracying_tpu.kernels.closest_hit import BLOCK_R
+
+        unit = seg_n * BLOCK_R
+        rp = -(-r // unit) * unit
+        if rp > r:
+            padn = rp - r
+            q = _Queue(
+                o=jnp.concatenate([q.o, jnp.zeros((padn, 3))]),
+                d=jnp.concatenate([q.d, jnp.zeros((padn, 3))]),
+                time=jnp.concatenate([q.time, jnp.zeros(padn)]),
+                tp=jnp.concatenate([q.tp, jnp.zeros(padn)]),
+                dest=jnp.concatenate([q.dest, jnp.zeros(padn, jnp.int32)]),
+                active=jnp.concatenate([q.active, jnp.zeros(padn, bool)]),
+            )
+            accum = jnp.zeros((rp, 3), jnp.float32)
+        seg_len = (rp if rp > r else r) // seg_n
+
+    def inslot_level(accum_s, q_s, k_lvl):
+        """One level of in-slot work on a queue slice (the whole queue or
+        one segment).  Returns (accum', continuation queue, counters)."""
+        cap = q_s.o.shape[0]
+        hit = closest_hit(
+            scene, q_s.o, q_s.d, q_s.time, q_s.active, use_bvh, differentiable
+        )
+        act = q_s.active & hit.valid
+        missed = q_s.active & ~hit.valid
+        mrec = gather_materials(scene, hit.geom_id)
+        local = shade(
+            scene, hit, q_s.o, jax.random.fold_in(k_lvl, 0), light_samples,
+            mrec, act, use_bvh
+        )
+        local_w = jnp.maximum(0.0, 1.0 - mrec.reflectivity - mrec.transparency)
+        w_miss = jnp.where(missed, q_s.tp, 0.0)[:, None]
+        w_local = jnp.where(act, q_s.tp * local_w, 0.0)[:, None]
+        contrib = w_miss * bg + w_local * jnp.where(act[:, None], local, 0.0)
+        accum_s = accum_s + contrib
+        if not spawn:
+            q2 = q_s
+            spawned = jnp.zeros(cap, bool)
+        elif scene.has_reflection:
+            q2 = _spawn_reflection(
+                scene, q_s, hit, mrec, act, k_lvl, cap, min_throughput
+            )
+            spawned = q2.active
+        else:
+            q2 = _spawn_refraction(
+                scene, q_s, hit, mrec, act, cap, min_throughput
+            )
+            spawned = q2.active
+        counts = (
+            jnp.sum(q_s.active.astype(jnp.int32)),
+            jnp.sum(act.astype(jnp.int32)),
+            jnp.sum(spawned.astype(jnp.int32)),
+            jnp.int32(0),
+        )
+        return accum_s, q2, counts
+
+    def compacted_level(accum, q, k_level):
+        """Two-way / forced-compaction level over the full queue."""
         hit = closest_hit(
             scene, q.o, q.d, q.time, q.active, use_bvh, differentiable
         )
         act = q.active & hit.valid
         missed = q.active & ~hit.valid
-        if return_stats:
-            live_in = jnp.sum(q.active.astype(jnp.int32))
-            n_hit = jnp.sum(act.astype(jnp.int32))
+        live_in = jnp.sum(q.active.astype(jnp.int32))
+        n_hit = jnp.sum(act.astype(jnp.int32))
 
         mrec = gather_materials(scene, hit.geom_id)
         local = shade(
@@ -257,37 +338,19 @@ def trace_wavefront(
         w_local = jnp.where(act, q.tp * local_w, 0.0)[:, None]
         contrib = w_miss * bg + w_local * jnp.where(act[:, None], local, 0.0)
 
-        if do_compact:
-            # Scatter-add by dest is a serial loop on TPU; stable-sort the
-            # contributions by dest and segment-sum instead.
-            dd = jnp.where(q.active, q.dest, r)
-            sd, c0, c1, c2 = jax.lax.sort(
-                (dd, contrib[:, 0], contrib[:, 1], contrib[:, 2]),
-                num_keys=1,
-                is_stable=False,
-            )
-            csort = jnp.stack([c0, c1, c2], axis=1)
-            accum = accum + jax.ops.segment_sum(
-                csort, sd, num_segments=r + 1, indices_are_sorted=True
-            )[:r]
-        else:
-            # In-slot accumulation: dest is identically arange(r).
-            accum = accum + contrib
+        # Scatter-add by dest is a serial loop on TPU; stable-sort the
+        # contributions by dest and segment-sum instead.
+        dd = jnp.where(q.active, q.dest, r)
+        sd, c0, c1, c2 = jax.lax.sort(
+            (dd, contrib[:, 0], contrib[:, 1], contrib[:, 2]),
+            num_keys=1,
+            is_stable=False,
+        )
+        csort = jnp.stack([c0, c1, c2], axis=1)
+        accum = accum + jax.ops.segment_sum(
+            csort, sd, num_segments=r + 1, indices_are_sorted=True
+        )[:r]
 
-        def stats_row(spawned_mask, dropped):
-            if not return_stats:
-                return None
-            return (
-                live_in,
-                n_hit,
-                jnp.sum(spawned_mask.astype(jnp.int32)),
-                dropped,
-            )
-
-        if not spawn:
-            return (accum, q), stats_row(jnp.zeros((), bool), jnp.int32(0))
-
-        dropped = jnp.int32(0)
         if two_way:
             c_refl = _spawn_reflection(
                 scene, q, hit, mrec, act, k_level, capacity, min_throughput
@@ -297,7 +360,7 @@ def trace_wavefront(
             )
             cand = _cat([c_refl, c_refr])
             q, dropped = _compact(cand, cand.active, capacity)
-            spawned_mask = cand.active
+            spawned = cand.active
         else:
             if scene.has_reflection:
                 q = _spawn_reflection(
@@ -307,25 +370,67 @@ def trace_wavefront(
                 q = _spawn_refraction(
                     scene, q, hit, mrec, act, capacity, min_throughput
                 )
-            spawned_mask = q.active
-            if do_compact:
-                q, dropped = _compact(q, q.active, capacity)
-        return (accum, q), stats_row(spawned_mask, dropped)
+            spawned = q.active
+            q, dropped = _compact(q, q.active, capacity)
+        counts = (live_in, n_hit, jnp.sum(spawned.astype(jnp.int32)), dropped)
+        return accum, q, counts
+
+    def level_body(carry, depth):
+        accum, q = carry
+        k_level = jax.random.fold_in(key, depth)
+        if do_compact:
+            accum, q, counts = compacted_level(accum, q, k_level)
+        elif use_segments:
+            qs = jax.tree.map(
+                lambda a: a.reshape((seg_n, seg_len) + a.shape[1:]), q
+            )
+            accs = accum.reshape(seg_n, seg_len, 3)
+            seg_keys = jax.vmap(
+                lambda i: jax.random.fold_in(k_level, i)
+            )(jnp.arange(seg_n))
+
+            def seg_step(_, xs):
+                acc_s, q_s, k_s = xs
+
+                def dead(args):
+                    a, qq, _k = args
+                    z = jnp.int32(0)
+                    return a, qq, (z, z, z, z)
+
+                out = jax.lax.cond(
+                    jnp.any(q_s.active),
+                    lambda args: inslot_level(*args),
+                    dead,
+                    (acc_s, q_s, k_s),
+                )
+                return None, out
+
+            _, (accs2, qs2, seg_counts) = jax.lax.scan(
+                seg_step, None, (accs, qs, seg_keys)
+            )
+            accum = accs2.reshape(-1, 3)
+            q = jax.tree.map(
+                lambda a: a.reshape((-1,) + a.shape[2:]), qs2
+            )
+            counts = tuple(jnp.sum(c) for c in seg_counts)
+        else:
+            accum, q, counts = inslot_level(accum, q, k_level)
+        return (accum, q), (counts if return_stats else None)
 
     if not spawn:
         # Purely local scene: one level suffices.
-        (accum, _), row = level_body((accum, q), jnp.int32(0))
+        accum, _, row = inslot_level(accum, q, jax.random.fold_in(key, 0))
         if return_stats:
-            return accum, TraceStats(*(v[None] for v in row))
-        return accum
+            return accum[:r], TraceStats(*(v[None] for v in row))
+        return accum[:r]
 
-    # 11 levels (depth 0..10); children spawned by the last iteration are
-    # never consumed, reproducing "depth > 10 -> black".
+    # max_depth+1 levels (depth 0..10 by default); children spawned by the
+    # last iteration are never consumed, reproducing "depth > 10 -> black".
     (accum, _), rows = jax.lax.scan(
         level_body,
         (accum, q),
-        jnp.arange(C.MAX_RECURSION_DEPTH + 1, dtype=jnp.int32),
+        jnp.arange(max_depth + 1, dtype=jnp.int32),
     )
     if return_stats:
-        return accum, TraceStats(*rows)
-    return accum
+        return accum[:r], TraceStats(*rows)
+    return accum[:r]

@@ -230,13 +230,17 @@ def all_hit_t(scene: Scene, o, d, time) -> jnp.ndarray:
     return jnp.concatenate(parts, axis=1)
 
 
-def min_hit_t(scene: Scene, o, d, time, active=None, use_bvh=False) -> jnp.ndarray:
+def min_hit_t(
+    scene: Scene, o, d, time, active=None, use_bvh=False, sort_rays=False
+) -> jnp.ndarray:
     """Closest hit distance per ray, +inf on miss.  This is all shadow
     visibility needs (visible iff min_t > light_dist, Code/raytracer.cpp:233).
 
     active: optional (R,) bool mask letting the Pallas kernel skip
     dead ray blocks (inactive rays report miss).  use_bvh selects the
-    LBVH traversal kernel (identical hit set; requires accel.with_bvh)."""
+    LBVH traversal kernel (identical hit set; requires accel.with_bvh).
+    sort_rays: coherence-sort incoherent wavefronts before the
+    accelerated kernels (kernels/ray_sort.py); identical results."""
     if scene.n_geoms == 0:
         return jnp.full(o.shape[:1], _INF)
     if _use_pallas():
@@ -245,6 +249,14 @@ def min_hit_t(scene: Scene, o, d, time, active=None, use_bvh=False) -> jnp.ndarr
             closest_hit_tid,
         )
 
+        if scene.n_geoms > BRUTE_SMEM_MAX_GEOMS and scene.chunk_geoms is not None:
+            # Beyond-SMEM scene: chunk-culled streaming kernel (identical
+            # hit set to brute — the AABB cull only removes provable
+            # misses, kernels/chunk_stream.py).
+            from ray_tracying_tpu.kernels.chunk_stream import closest_hit_tid_chunks
+
+            t, _ = closest_hit_tid_chunks(scene, o, d, time, active, sort_rays)
+            return t
         if (
             use_bvh
             and scene.bvh_geoms is not None
@@ -252,7 +264,7 @@ def min_hit_t(scene: Scene, o, d, time, active=None, use_bvh=False) -> jnp.ndarr
         ):
             from ray_tracying_tpu.kernels.bvh_traverse import closest_hit_tid_bvh
 
-            t, _ = closest_hit_tid_bvh(scene, o, d, time, active)
+            t, _ = closest_hit_tid_bvh(scene, o, d, time, active, sort_rays)
             return t
         t, _ = closest_hit_tid(scene, o, d, time, active)
         return t
@@ -284,6 +296,12 @@ def occluded(scene: Scene, o, d, maxt, active=None, use_bvh=False) -> jnp.ndarra
             # shadow blocks lose the directional coherence BVH traversal
             # feeds on (every ray aims at a different jittered point).
             return occluded_tid(scene, o, d, maxt, active)
+        if scene.chunk_geoms is not None:
+            # Beyond-SMEM scene: chunk-culled any-hit with per-chunk AABB
+            # pruning against the light distance and block early exit.
+            from ray_tracying_tpu.kernels.chunk_stream import occluded_tid_chunks
+
+            return occluded_tid_chunks(scene, o, d, maxt, active)
     t = min_hit_t(scene, o, d, jnp.zeros(o.shape[:1]), active, use_bvh)
     return t <= maxt
 
@@ -432,15 +450,27 @@ def closest_hit(
             closest_hit_tid_n,
         )
 
+        big = scene.n_geoms > BRUTE_SMEM_MAX_GEOMS
         if (
             not differentiable
-            and not use_bvh
             and not scene.has_textures
-            and scene.n_geoms <= BRUTE_SMEM_MAX_GEOMS
+            and ((not big and not use_bvh)
+                 or (big and scene.chunk_geoms is not None))
         ):
             # Fused-attribute fast path: normal from the kernel, point
-            # from o + t*d, no pass-2.
-            t_min, gid, normal = closest_hit_tid_n(scene, o, d, time, active)
+            # from o + t*d, no pass-2.  Beyond-SMEM scenes use the
+            # chunk-culled streaming variant (identical hit set) — pass-2's
+            # one-hot prim gather is O(R * G) and unaffordable there.
+            if big:
+                from ray_tracying_tpu.kernels.chunk_stream import (
+                    closest_hit_tid_n_chunks,
+                )
+
+                t_min, gid, normal = closest_hit_tid_n_chunks(
+                    scene, o, d, time, active
+                )
+            else:
+                t_min, gid, normal = closest_hit_tid_n(scene, o, d, time, active)
             valid = jnp.isfinite(t_min)
             t_fin = jnp.where(valid, t_min, 0.0)
             point = o + t_fin[:, None] * d
@@ -453,11 +483,11 @@ def closest_hit(
                 normal=normal,
                 uv=jnp.zeros((r, 2)),
             )
-        if (
-            use_bvh
-            and scene.bvh_geoms is not None
-            and scene.n_geoms <= BRUTE_SMEM_MAX_GEOMS
-        ):
+        if big and scene.chunk_geoms is not None:
+            from ray_tracying_tpu.kernels.chunk_stream import closest_hit_tid_chunks
+
+            t_min, gid = closest_hit_tid_chunks(scene, o, d, time, active)
+        elif use_bvh and scene.bvh_geoms is not None and not big:
             from ray_tracying_tpu.kernels.bvh_traverse import closest_hit_tid_bvh
 
             t_min, gid = closest_hit_tid_bvh(scene, o, d, time, active)

@@ -41,6 +41,9 @@ class RenderOptions:
     # Collect per-level TraceStats + per-tile timings (render_with_stats);
     # forces per-tile sync, so use for diagnosis, not production renders.
     stats: bool = False
+    # Segment-gating of the in-slot bounce levels (trace_wavefront
+    # docstring): 0 = auto, 1 = off, N = force N segments.
+    segments: int = 0
 
 
 @functools.partial(
@@ -48,6 +51,7 @@ class RenderOptions:
     static_argnames=(
         "rows", "width", "samples_sqrt", "light_samples", "queue_mult",
         "use_bvh", "min_throughput", "differentiable", "return_stats",
+        "segments",
     ),
 )
 def _render_tile(
@@ -63,6 +67,7 @@ def _render_tile(
     min_throughput: float = 0.0,
     differentiable: bool = False,
     return_stats: bool = False,
+    segments: int = 0,
 ):
     """Render a (rows, width) tile -> (rows, width, 3) linear radiance."""
     spp = samples_sqrt * samples_sqrt if samples_sqrt > 1 else 1
@@ -102,6 +107,7 @@ def _render_tile(
     out = trace_wavefront(
         scene, o, d, times, k_trace, light_samples, queue_mult, use_bvh,
         min_throughput, "auto", differentiable, return_stats,
+        segments=segments,
     )
     colors, stats = out if return_stats else (out, None)  # colors: (R, 3)
     tile = jnp.mean(colors.reshape(rows, width, spp, 3), axis=2)
@@ -121,6 +127,14 @@ def _render_tiles(scene, opts, key, post=None, out_dtype=np.float32):
         from ray_tracying_tpu.accel.lbvh import with_bvh
 
         scene = with_bvh(scene)
+    from ray_tracying_tpu.kernels.closest_hit import BRUTE_SMEM_MAX_GEOMS
+
+    if scene.n_geoms > BRUTE_SMEM_MAX_GEOMS and scene.chunk_geoms is None:
+        # Beyond-SMEM scenes always get the chunked-stream structures —
+        # closest-hit AND shadow occlusion both stream through them.
+        from ray_tracying_tpu.accel.lbvh import with_chunks
+
+        scene = with_chunks(scene)
     width, height = scene.camera.resolution
     spp = opts.samples_sqrt * opts.samples_sqrt if opts.samples_sqrt > 1 else 1
     rows = max(1, min(height, opts.max_rays_per_pass // max(1, width * spp)))
@@ -148,6 +162,7 @@ def _render_tiles(scene, opts, key, post=None, out_dtype=np.float32):
             opts.use_bvh,
             opts.min_throughput,
             return_stats=opts.stats,
+            segments=opts.segments,
         )
         if opts.stats:
             tile, tstats = tile

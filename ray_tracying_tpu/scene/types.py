@@ -128,6 +128,12 @@ class Scene:
     bvh_nodes_box: Optional[jnp.ndarray] = None    # (M, 6) min xyz | max xyz
     bvh_nodes_topo: Optional[jnp.ndarray] = None   # (M, 4) int32 left right first count
     bvh_geoms: Optional[jnp.ndarray] = None        # (G, 17) reordered geom table
+    # Chunked acceleration for scenes beyond the SMEM-resident cap
+    # (accel.lbvh.with_chunks): the Morton-sorted geom table padded to a
+    # multiple of the stream chunk, plus one conservative AABB per chunk so
+    # the streaming kernel can cull whole chunks per ray block.
+    chunk_geoms: Optional[jnp.ndarray] = None      # (NC*CHUNK, 17)
+    chunk_boxes: Optional[jnp.ndarray] = None      # (NC, 6) min xyz | max xyz
 
     @property
     def n_geoms(self) -> int:

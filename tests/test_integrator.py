@@ -255,3 +255,46 @@ def test_render_with_stats_pipeline():
     assert stats["total_dropped"] == 0
     assert stats["levels"][0]["live"] > 0
     assert len(stats["tiles"]) >= 1
+
+
+def test_segmented_integrator_matches_unsegmented():
+    """Deterministic scene (no glossy / area lights): segment gating must
+    be bit-identical to the plain in-slot path."""
+    d = minimal_camera()
+    d["lights"] = [
+        {"location": [0, 0, 5], "color": [1, 1, 1], "intensity": 150.0}
+    ]
+    d["spheres"] = [
+        {"location": [0, 6, 0], "radius": 1.5,
+         "material": {"diffuse_color": [0.8, 0.2, 0.2],
+                      "reflectivity": 0.4, "roughness": 0.0}},
+    ]
+    d["rectangles"] = [
+        {"translation": [0, 6, -2], "rotation": [0, 0, 0], "scale": [10, 10, 1],
+         "material": {"diffuse_color": [0.3, 0.5, 0.3], "reflectivity": 0.2,
+                      "roughness": 0.0}},
+    ]
+    s = load_scene_dict(d)
+    n = 128
+    rng = np.random.default_rng(0)
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs[:, 1] = np.abs(dirs[:, 1]) + 0.5
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    dirs = jnp.asarray(dirs)
+    o = jnp.zeros_like(dirs)
+    t = jnp.zeros(n)
+    plain = trace_wavefront(s, o, dirs, t, jax.random.key(2), 1, segments=1)
+    seg = trace_wavefront(s, o, dirs, t, jax.random.key(2), 1, segments=4)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(seg))
+    # Stats agree too (deterministic scene).
+    _, st1 = trace_wavefront(
+        s, o, dirs, t, jax.random.key(2), 1, segments=1, return_stats=True
+    )
+    _, st4 = trace_wavefront(
+        s, o, dirs, t, jax.random.key(2), 1, segments=4, return_stats=True
+    )
+    np.testing.assert_array_equal(np.asarray(st1.live), np.asarray(st4.live))
+    np.testing.assert_array_equal(np.asarray(st1.hits), np.asarray(st4.hits))
+    np.testing.assert_array_equal(
+        np.asarray(st1.spawned), np.asarray(st4.spawned)
+    )

@@ -25,13 +25,13 @@ from ray_tracying_tpu.accel.lbvh import with_bvh
 from ray_tracying_tpu.render.camera import pixel_rays
 
 
-@functools.partial(jax.jit, static_argnames=("k", "use_bvh"))
-def chained(scene, o, d, tm, k, use_bvh):
+@functools.partial(jax.jit, static_argnames=("k", "use_bvh", "sort_rays"))
+def chained(scene, o, d, tm, k, use_bvh, sort_rays=False):
     from ray_tracying_tpu.render.intersect import min_hit_t
 
     def body(carry, _):
         tmc = carry
-        t = min_hit_t(scene, o, d, tmc, None, use_bvh)
+        t = min_hit_t(scene, o, d, tmc, None, use_bvh, sort_rays)
         nxt = jnp.where(jnp.isfinite(t), t - jnp.floor(t), 0.0)
         return nxt, t[0]
 
@@ -39,8 +39,8 @@ def chained(scene, o, d, tm, k, use_bvh):
     return out[0] + ts.sum()
 
 
-def per_pass_ms(scene, o, d, tm, use_bvh, reps=10):
-    f = lambda K: float(chained(scene, o, d, tm, K, use_bvh))
+def per_pass_ms(scene, o, d, tm, use_bvh, reps=10, sort_rays=False):
+    f = lambda K: float(chained(scene, o, d, tm, K, use_bvh, sort_rays))
     f(1)
     f(reps + 1)
     t0 = time.time(); f(1); a = time.time() - t0
@@ -61,7 +61,10 @@ def main():
 
     n_rays = 1 << 20
     key = jax.random.key(0)
-    print(f"{'geoms':>8} {'brute ms':>10} {'lbvh ms':>10} {'winner':>8}")
+    print(
+        f"{'geoms':>8} {'brute ms':>10} {'lbvh ms':>10} {'lbvh+sort':>10} "
+        f"{'winner':>10}"
+    )
     for n in args.sizes:
         scene = models.sphere_field(n=n, res=(320, 180))
         scene_b = with_bvh(scene)
@@ -81,8 +84,16 @@ def main():
         tm = jnp.zeros(n_rays)
         ms_brute = per_pass_ms(scene, o, d, tm, False)
         ms_bvh = per_pass_ms(scene_b, o, d, tm, True)
-        winner = "brute" if ms_brute < ms_bvh else "lbvh"
-        print(f"{n + 1:>8} {ms_brute:>10.2f} {ms_bvh:>10.2f} {winner:>8}")
+        ms_sort = per_pass_ms(scene_b, o, d, tm, True, sort_rays=True)
+        best = min(ms_brute, ms_bvh, ms_sort)
+        winner = (
+            "brute" if best == ms_brute
+            else ("lbvh" if best == ms_bvh else "lbvh+sort")
+        )
+        print(
+            f"{n + 1:>8} {ms_brute:>10.2f} {ms_bvh:>10.2f} {ms_sort:>10.2f} "
+            f"{winner:>10}"
+        )
 
 
 if __name__ == "__main__":
