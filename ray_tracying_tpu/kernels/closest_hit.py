@@ -65,18 +65,20 @@ def pallas_interpret() -> bool:
 
 
 class RayBlock:
-    """The per-block ray registers."""
+    """The per-block ray registers.  base: first row of the 8-row ray
+    group inside the ref (Mosaic wants input blocks whose row count is
+    divisible by 8 or the full array — wider packs read at an offset)."""
 
     __slots__ = ("ox", "oy", "oz", "dx", "dy", "dz", "tm", "dnorm")
 
-    def __init__(self, rays_ref):
-        self.ox = rays_ref[0, :]
-        self.oy = rays_ref[1, :]
-        self.oz = rays_ref[2, :]
-        self.dx = rays_ref[3, :]
-        self.dy = rays_ref[4, :]
-        self.dz = rays_ref[5, :]
-        self.tm = rays_ref[6, :]
+    def __init__(self, rays_ref, base: int = 0):
+        self.ox = rays_ref[base + 0, :]
+        self.oy = rays_ref[base + 1, :]
+        self.oz = rays_ref[base + 2, :]
+        self.dx = rays_ref[base + 3, :]
+        self.dy = rays_ref[base + 4, :]
+        self.dz = rays_ref[base + 5, :]
+        self.tm = rays_ref[base + 6, :]
         self.dnorm = jnp.sqrt(
             self.dx * self.dx + self.dy * self.dy + self.dz * self.dz
         )

@@ -16,10 +16,18 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ray_tracying_tpu.core.gather import onehot_gather
 from ray_tracying_tpu.scene.types import Scene
 
 KIND_PLANE = 3
 GEOM_COLS = 17
+# Material columns appended by pack_geom_table_shaded (cols 17..28):
+# diffuse rgb, specular rgb, k_ambient, k_diffuse, k_specular, shininess,
+# roughness, reflectivity — everything the no-texture shading fast path
+# needs (transparency/ior/tex_id excluded: the wavefront megakernel only
+# runs on reflection-only, untextured scenes).
+MAT_COLS = 12
+SHADED_COLS = GEOM_COLS + MAT_COLS
 
 
 def pack_geom_table(scene: Scene) -> jnp.ndarray:
@@ -126,3 +134,43 @@ def pack_geom_table_sorted(scene: Scene, chunk: int = 1):
         if bounds[kind + 1] > bounds[kind]
     )
     return table, ranges
+
+
+def pack_geom_table_shaded(scene: Scene):
+    """Kind-sorted geom table with the per-geom material record appended
+    (SHADED_COLS columns) for the fused shading megakernel
+    (kernels/wavefront.py).  Material rows follow the table's id column,
+    so chunk-pad rows (id 0) carry garbage material — harmless, they never
+    win the closest-hit min (t = +inf)."""
+    table, ranges = pack_geom_table_sorted(scene)
+    ids = jnp.round(table[:, 16]).astype(jnp.int32)
+    m = scene.materials
+    mat = jnp.concatenate(
+        [
+            m.diffuse,
+            m.specular,
+            m.k_ambient[:, None],
+            m.k_diffuse[:, None],
+            m.k_specular[:, None],
+            m.shininess[:, None],
+            m.roughness[:, None],
+            m.reflectivity[:, None],
+        ],
+        axis=1,
+    )  # (M, MAT_COLS)
+    matrows = onehot_gather(mat, ids)  # (G, MAT_COLS); G is small here
+    return jnp.concatenate([table, matrows], axis=1), ranges
+
+
+def pack_light_table(scene: Scene) -> jnp.ndarray:
+    """(8, L) light table for the megakernel: [px py pz | r g b |
+    intensity | radius] per column (Code/light.hpp:5-14)."""
+    li = scene.lights
+    return jnp.stack(
+        [
+            li.position[:, 0], li.position[:, 1], li.position[:, 2],
+            li.color[:, 0], li.color[:, 1], li.color[:, 2],
+            li.intensity, li.radius,
+        ],
+        axis=0,
+    ).astype(jnp.float32)

@@ -156,6 +156,95 @@ def _spawn_refraction(scene, q, hit, mrec, act, capacity, min_tp):
     )
 
 
+def _trace_wave(
+    scene: Scene, o, d, times, key, light_samples, min_tp, return_stats,
+    max_depth,
+):
+    """Fused-level fast path: the whole per-level body (closest hit,
+    material recovery, Blinn-Phong prep, hard-shadow ray emission,
+    reflection spawn) runs as ONE Pallas megakernel per level plus one
+    any-hit kernel per light, chained through a shared row-major tensor —
+    see kernels/wavefront.py.  Point lights force 1 shadow sample exactly
+    like the reference (Code/raytracer.cpp:207), so light_samples is
+    irrelevant here by construction."""
+    from ray_tracying_tpu.kernels.wavefront import (
+        Q_ROWS,
+        WAVE_BLOCK,
+        _contrib_base,
+        occluded9_call,
+        out_rows,
+        wave_level_call,
+        wave_tables,
+    )
+
+    r = o.shape[0]
+    r_pad = -(-r // WAVE_BLOCK) * WAVE_BLOCK
+    n_l = scene.n_lights
+    rows = out_rows(n_l)
+    cb = _contrib_base(n_l)
+    hr = cb + 3 * (1 + n_l)
+    table, ranges, occ_table, occ_ranges, lights = wave_tables(scene)
+
+    qrows = jnp.concatenate(
+        [
+            o.T, d.T, times[None, :],
+            jnp.ones((2, r), jnp.float32),  # act = 1, tp = 1
+        ],
+        axis=0,
+    )
+    boot = jnp.pad(
+        jax.lax.stop_gradient(qrows), ((0, rows - Q_ROWS), (0, r_pad - r))
+    )
+
+    levels = (max_depth + 1) if scene.has_reflection else 1
+
+    def body(carry, depth):
+        accum, prev = carry
+        k_level = jax.random.fold_in(key, depth)
+        seed = jax.lax.bitcast_convert_type(
+            jax.random.key_data(k_level), jnp.int32
+        )
+        if scene.has_glossy:
+            # Same sampler + stream as the general path's glossy fuzz
+            # (_spawn_reflection); generated with XLA (Mosaic's
+            # transcendentals are ~50x slower) and fed to the kernel.
+            fuzz = uniform_in_unit_sphere(
+                jax.random.fold_in(k_level, 1), (r_pad,)
+            ).T
+        else:
+            fuzz = jnp.zeros((3, r_pad), jnp.float32)
+        out = wave_level_call(
+            prev, seed, jax.lax.stop_gradient(fuzz), table, lights, ranges,
+            scene.has_motion, n_l, scene.n_geoms, scene.has_glossy, min_tp,
+        )
+        contrib = out[cb : cb + 3]
+        for li in range(n_l):
+            blocked = occluded9_call(out, occ_table, li, occ_ranges, False)
+            contrib = contrib + out[
+                cb + 3 * (1 + li) : cb + 3 * (2 + li)
+            ] * (1.0 - blocked)
+        accum = accum + contrib
+        if return_stats:
+            row = (
+                jnp.sum((prev[7] > 0).astype(jnp.int32)),
+                jnp.sum((out[hr] > 0).astype(jnp.int32)),
+                jnp.sum((out[7] > 0).astype(jnp.int32)),
+                jnp.int32(0),
+            )
+        else:
+            row = None
+        return (accum, out), row
+
+    accum0 = jnp.zeros((3, r_pad), jnp.float32)
+    (accum, _), stat_rows = jax.lax.scan(
+        body, (accum0, boot), jnp.arange(levels, dtype=jnp.int32)
+    )
+    radiance = accum[:, :r].T
+    if return_stats:
+        return radiance, TraceStats(*stat_rows)
+    return radiance
+
+
 def trace_wavefront(
     scene: Scene,
     origins: jnp.ndarray,     # (R, 3)
@@ -233,6 +322,28 @@ def trace_wavefront(
     # kernels are smaller — in-slot wins for one-way scenes ("auto").
     # Two-way scenes must compact: the queue physically grows.
     do_compact = (compact == "always" or two_way) and spawn
+
+    # --- fused level megakernel fast path (kernels/wavefront.py): the
+    # whole level body in one Pallas pass per level + one any-hit pass per
+    # light.  Inference-only; scenes outside its scope take the general
+    # path below.
+    if (
+        not differentiable
+        and not use_bvh
+        and not two_way
+        and compact != "always"
+        and segments <= 1
+    ):
+        from ray_tracying_tpu.render.intersect import _use_pallas
+
+        if _use_pallas():
+            from ray_tracying_tpu.kernels.wavefront import wave_supported
+
+            if wave_supported(scene):
+                return _trace_wave(
+                    scene, origins, directions, times, key, light_samples,
+                    min_throughput, return_stats, max_depth,
+                )
 
     accum = jnp.zeros((r, 3), jnp.float32)
     q = _Queue(

@@ -1,0 +1,143 @@
+"""Fused level megakernel (kernels/wavefront.py) vs the general
+integrator path, in Pallas interpret mode."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ray_tracying_tpu.render.integrator import trace_wavefront
+from ray_tracying_tpu.scene.loader import load_scene_dict
+
+from test_scene_loader import minimal_camera
+
+needs_interpret = pytest.mark.skipif(
+    os.environ.get("RTT_SKIP_INTERPRET") == "1", reason="interpret disabled"
+)
+
+
+def wave_scene(roughness=0.0):
+    """Qualifying scene: point lights only, reflective, untextured."""
+    d = minimal_camera()
+    d["lights"] = [
+        {"location": [0, 0, 5], "color": [1, 1, 1], "intensity": 300.0},
+        {"location": [4, 2, 3], "color": [1.0, 0.8, 0.6], "intensity": 200.0},
+    ]
+    d["spheres"] = [
+        {"location": [0, 6, 0], "radius": 1.5,
+         "material": {"diffuse_color": [0.8, 0.2, 0.2],
+                      "reflectivity": 0.4, "roughness": roughness}},
+        {"location": [-2.5, 7, 1], "radius": 1.0,
+         "material": {"diffuse_color": [0.2, 0.6, 0.8]}},
+    ]
+    d["cubes"] = [
+        {"translation": [2.5, 6, -0.5], "rotation": [0.2, 0.4, 0.1],
+         "material": {"diffuse_color": [0.9, 0.8, 0.3],
+                      "reflectivity": 0.3, "roughness": roughness}},
+    ]
+    d["rectangles"] = [
+        {"translation": [0, 6, -2], "rotation": [0, 0, 0], "scale": [14, 14, 1],
+         "material": {"diffuse_color": [0.3, 0.5, 0.3],
+                      "reflectivity": 0.2, "roughness": roughness}},
+    ]
+    return load_scene_dict(d)
+
+
+def cam_rays(n=256, seed=4):
+    rng = np.random.default_rng(seed)
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs[:, 1] = np.abs(dirs[:, 1]) + 0.4
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    return jnp.zeros((n, 3)), jnp.asarray(dirs), jnp.zeros(n)
+
+
+def test_wave_supported_gate():
+    from ray_tracying_tpu.kernels.wavefront import wave_supported
+
+    s = wave_scene()
+    assert wave_supported(s)
+    # refraction disqualifies
+    d = minimal_camera()
+    d["lights"] = [{"location": [0, 0, 5], "color": [1, 1, 1], "intensity": 100.0}]
+    d["spheres"] = [{"location": [0, 6, 0], "radius": 1.0,
+                     "material": {"transparency": 0.5, "refractive_index": 1.5}}]
+    assert not wave_supported(load_scene_dict(d))
+    # area lights disqualify
+    d2 = minimal_camera()
+    d2["lights"] = [{"location": [0, 0, 5], "color": [1, 1, 1],
+                     "intensity": 100.0, "radius": 0.5}]
+    d2["spheres"] = [{"location": [0, 6, 0], "radius": 1.0}]
+    assert not wave_supported(load_scene_dict(d2))
+
+
+@needs_interpret
+def test_wave_matches_general_path_deterministic():
+    """roughness == 0 everywhere: the megakernel path must match the
+    general jnp path to float tolerance (same math, different fusion)."""
+    s = wave_scene(roughness=0.0)
+    o, d, tm = cam_rays()
+    key = jax.random.key(5)
+    ref = np.asarray(trace_wavefront(s, o, d, tm, key, 1))  # jnp path (CPU)
+    os.environ["RTT_PALLAS_INTERPRET"] = "1"
+    try:
+        got = np.asarray(trace_wavefront(s, o, d, tm, key, 1))
+    finally:
+        del os.environ["RTT_PALLAS_INTERPRET"]
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
+
+
+@needs_interpret
+def test_wave_stats_match():
+    s = wave_scene(roughness=0.0)
+    o, d, tm = cam_rays(seed=9)
+    key = jax.random.key(6)
+    _, st_ref = trace_wavefront(s, o, d, tm, key, 1, return_stats=True)
+    os.environ["RTT_PALLAS_INTERPRET"] = "1"
+    try:
+        _, st = trace_wavefront(s, o, d, tm, key, 1, return_stats=True)
+    finally:
+        del os.environ["RTT_PALLAS_INTERPRET"]
+    np.testing.assert_array_equal(np.asarray(st.live), np.asarray(st_ref.live))
+    np.testing.assert_array_equal(np.asarray(st.hits), np.asarray(st_ref.hits))
+    np.testing.assert_array_equal(
+        np.asarray(st.spawned), np.asarray(st_ref.spawned)
+    )
+    assert int(jnp.sum(st.dropped)) == 0
+
+
+@needs_interpret
+def test_wave_glossy_statistical():
+    """Glossy fuzz uses the on-core PRNG — a different stream of the same
+    distribution; mean radiance must agree statistically."""
+    s = wave_scene(roughness=0.35)
+    o, d, tm = cam_rays(n=1024, seed=11)
+    key = jax.random.key(7)
+    ref = np.asarray(trace_wavefront(s, o, d, tm, key, 1))
+    os.environ["RTT_PALLAS_INTERPRET"] = "1"
+    try:
+        got = np.asarray(trace_wavefront(s, o, d, tm, key, 1))
+    finally:
+        del os.environ["RTT_PALLAS_INTERPRET"]
+    assert np.isfinite(got).all()
+    # Direct lighting identical; only the glossy bounce differs.
+    np.testing.assert_allclose(got.mean(0), ref.mean(0), rtol=0.05, atol=0.01)
+
+
+@needs_interpret
+def test_wave_no_reflection_single_level():
+    d = minimal_camera()
+    d["lights"] = [{"location": [0, 0, 5], "color": [1, 1, 1], "intensity": 150.0}]
+    d["spheres"] = [{"location": [0, 6, 0], "radius": 1.5,
+                     "material": {"diffuse_color": [0.7, 0.3, 0.2]}}]
+    s = load_scene_dict(d)
+    o, dd, tm = cam_rays(n=64, seed=2)
+    key = jax.random.key(1)
+    ref = np.asarray(trace_wavefront(s, o, dd, tm, key, 1))
+    os.environ["RTT_PALLAS_INTERPRET"] = "1"
+    try:
+        got = np.asarray(trace_wavefront(s, o, dd, tm, key, 1))
+    finally:
+        del os.environ["RTT_PALLAS_INTERPRET"]
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
