@@ -205,9 +205,12 @@ def _trace_wave(
             jax.random.key_data(k_level), jnp.int32
         )
         if scene.has_glossy:
-            # Same sampler + stream as the general path's glossy fuzz
-            # (_spawn_reflection); generated with XLA (Mosaic's
-            # transcendentals are ~50x slower) and fed to the kernel.
+            # Same sampler and fold-in as the general path's glossy fuzz
+            # (_spawn_reflection), drawn at the padded shape (r_pad,) — the
+            # stream differs from the general path's (capacity,) draw when
+            # the queue is padded, which the stochastic-tolerance contract
+            # covers.  Generated with XLA (Mosaic's transcendentals are
+            # ~50x slower) and fed to the kernel.
             fuzz = uniform_in_unit_sphere(
                 jax.random.fold_in(k_level, 1), (r_pad,)
             ).T

@@ -266,14 +266,19 @@ def test_classify_and_mesh_entries():
     s = mesh_entry(Obj("Sphere", (1, 2, 3), dims=(4, 4, 4)), "spheres")
     assert s["location"] == [1, 2, 3]
     assert s["scale"] == [2.0, 2.0, 2.0]  # dimensions / 2
+    assert s["velocity"] == [0.0, 0.0, 0.0]
     assert s["material"]["k_diffuse"] == 0.9
 
-    c = mesh_entry(Obj("Cube", (0, 0, 0), scale=(1.5, 2.5, 3.5)), "cubes")
+    # Cubes and rectangles export Blender DIMENSIONS (actual world size),
+    # not obj.scale: the default cube mesh is 2 m per side, so
+    # dimensions = 2 * scale (reference Blend/exporter.py:206-236).
+    c = mesh_entry(Obj("Cube", (0, 0, 0), scale=(1.5, 2.5, 3.5),
+                       dims=(3.0, 5.0, 7.0)), "cubes")
     assert c["translation"] == [0, 0, 0]
-    assert c["scale"] == [1.5, 2.5, 3.5]
+    assert c["scale"] == [3.0, 5.0, 7.0]
 
-    r = mesh_entry(Obj("Plane", (0, 0, -1), scale=(3.0, 4.0, 1.0)), "rectangles")
-    # Blender's default Plane is 2x2 at unit scale.
+    r = mesh_entry(Obj("Plane", (0, 0, -1), scale=(3.0, 4.0, 1.0),
+                       dims=(6.0, 8.0, 0.0)), "rectangles")
     assert r["scale"] == [6.0, 8.0, 1.0]
 
 

@@ -258,25 +258,36 @@ def mesh_entry(obj, kind):
     rot = [float(a) for a in obj.rotation_euler]
     mat = material_from_object(obj)
     if kind == "spheres":
+        # Blender dimensions = diameter; unit sphere radius = 1, so
+        # scale = dimensions / 2 (reference Blend/exporter.py:186-203).
         dims = obj.dimensions
+        vel = obj.get("velocity", [0.0, 0.0, 0.0]) if hasattr(obj, "get") \
+            else [0.0, 0.0, 0.0]
         return {
             "location": loc,
             "rotation": rot,
             "scale": [float(dims[0]) / 2, float(dims[1]) / 2, float(dims[2]) / 2],
+            "velocity": [float(v) for v in vel],
             "material": mat,
         }
     if kind == "cubes":
+        # Unit cube is size 1 and Blender dimensions are the actual size, so
+        # scale = dimensions — NOT obj.scale: the default cube mesh is 2 m per
+        # side, dimensions = 2 * scale (reference Blend/exporter.py:206-223).
+        dims = obj.dimensions
         return {
             "translation": loc,
             "rotation": rot,
-            "scale": [float(s) for s in obj.scale],
+            "scale": [float(x) for x in dims],
             "material": mat,
         }
-    # rectangles: Blender's default Plane is 2x2 at unit scale.
+    # rectangles: scale = dimensions, z slot fixed at 1
+    # (reference Blend/exporter.py:226-236).
+    dims = obj.dimensions
     return {
         "translation": loc,
         "rotation": rot,
-        "scale": [float(s) * 2 for s in obj.scale[:2]] + [1.0],
+        "scale": [float(dims[0]), float(dims[1]), 1.0],
         "material": mat,
     }
 

@@ -1,0 +1,182 @@
+#!/usr/bin/env python3
+"""Per-level cost breakdown of the FUSED wave path (the headline bench
+path) on the bundled bvh scene: times each level's megakernel and
+occlusion passes separately, with live-lane occupancy (VERDICT r2 item 1:
+levels 3-10 are <3% live yet pay full-queue dispatches — quantify what
+each costs before/after queue shrinking + occlusion fusion).
+
+Timing methodology: block_until_ready can return early through the axon
+tunnel (BASELINE.md), so every pass is timed as a lax.scan CHAIN of
+`--chain` data-dependent calls on the SAME input (the output feeds back
+as `prev + 0*out`, preserving the level's queue state while forcing
+serialization), divided by the chain length.
+
+Writes a JSON report to --out (default stdout only).
+"""
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import ray_tracying_tpu as rt
+from ray_tracying_tpu.core.sampling import uniform_in_unit_sphere
+from ray_tracying_tpu.render.camera import pixel_rays
+
+
+def timed_chain(fn, feedback, x, chain):
+    """Median-of-3 wall time of a lax.scan chain of `chain` dependent
+    calls of fn on x (feedback(x, out) must return a tensor == x with a
+    data dependency on out).  Returns ms per call."""
+
+    @jax.jit
+    def run(x0):
+        def body(c, _):
+            out = fn(c)
+            return feedback(c, out), None
+
+        c, _ = jax.lax.scan(body, x0, None, length=chain)
+        return c
+
+    jax.block_until_ready(run(x))  # compile
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        jax.block_until_ready(run(x))
+        ts.append((time.time() - t0) * 1e3 / chain)
+    return float(np.median(ts))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rays", type=int, default=1 << 22)
+    ap.add_argument("--chain", type=int, default=8)
+    ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--scene", default=os.path.join(REPO, "golden/ASCII/scene.json")
+    )
+    args = ap.parse_args()
+
+    from ray_tracying_tpu.kernels import wavefront as wf
+
+    scene = rt.load_scene(args.scene)
+    assert wf.wave_supported(scene), "scene outside the wave gate"
+    width, height = scene.camera.resolution
+    key = jax.random.key(0)
+
+    spp = 16
+    rows = args.rays // (width * spp)
+    n = rows * width * spp
+    ys = jnp.arange(rows, dtype=jnp.float32)[:, None, None]
+    xs = jnp.arange(width, dtype=jnp.float32)[None, :, None]
+    sub = jax.random.uniform(key, (rows, width, spp, 2))
+    px = (xs + sub[..., 0]).reshape(-1)
+    py = (ys * (height / max(rows, 1)) + sub[..., 1]).reshape(-1)
+    o, d = pixel_rays(scene.camera, px, py, key)
+    tm = jax.random.uniform(jax.random.fold_in(key, 9), (n,))
+
+    n_l = scene.n_lights
+    r_pad = -(-n // wf.WAVE_BLOCK) * wf.WAVE_BLOCK
+    rows_out = wf.out_rows(n_l)
+    table, ranges, occ_table, occ_ranges, lights = wf.wave_tables(scene)
+
+    qrows = jnp.concatenate(
+        [o.T, d.T, tm[None, :], jnp.ones((2, n), jnp.float32)], axis=0
+    )
+    boot = jnp.pad(qrows, ((0, rows_out - wf.Q_ROWS), (0, r_pad - n)))
+
+    def fuzz_for(k):
+        if scene.has_glossy:
+            return uniform_in_unit_sphere(k, (r_pad,)).T
+        return jnp.zeros((3, r_pad), jnp.float32)
+
+    seed = jax.lax.bitcast_convert_type(jax.random.key_data(key), jnp.int32)
+
+    wave = functools.partial(
+        wf.wave_level_call,
+        table=table, lights=lights, ranges=ranges,
+        motion=scene.has_motion, n_lights=n_l, n_geoms=scene.n_geoms,
+        glossy=scene.has_glossy, min_tp=0.0,
+    )
+
+    step = jax.jit(lambda p, k: wave(p, seed, fuzz_for(k)))
+
+    report = {
+        "scene": os.path.basename(args.scene),
+        "rays": n,
+        "wave_block": wf.WAVE_BLOCK,
+        "n_lights": n_l,
+        "backend": jax.devices()[0].platform,
+        "levels": [],
+    }
+    prev = boot
+    tot_wave = tot_occ = 0.0
+    print(
+        f"{n} rays/tile, WAVE_BLOCK={wf.WAVE_BLOCK}, lights={n_l}, "
+        f"backend={jax.devices()[0].platform}"
+    )
+    print(f"{'lvl':>3} {'live':>9} {'live%':>6} {'wave_ms':>8} {'occ_ms':>8}")
+    for level in range(11):
+        k_level = jax.random.fold_in(key, level)
+        fz = fuzz_for(jax.random.fold_in(k_level, 1))
+        live = int(np.asarray(jnp.sum(prev[7] > 0)))
+
+        t_wave = timed_chain(
+            lambda c: wave(c, seed, fz),
+            lambda c, out: c + 0.0 * out,
+            prev,
+            args.chain,
+        )
+        out = jax.block_until_ready(step(prev, jax.random.fold_in(k_level, 1)))
+
+        t_occ = 0.0
+        for li in range(n_l):
+            t_occ += timed_chain(
+                lambda c, li=li: wf.occluded9_call(
+                    c, occ_table, li, occ_ranges, False
+                ),
+                lambda c, blk: c + 0.0 * blk,
+                out,
+                args.chain,
+            )
+        row = {
+            "level": level,
+            "live": live,
+            "live_frac": round(live / n, 5),
+            "wave_ms": round(t_wave, 3),
+            "occ_ms": round(t_occ, 3),
+        }
+        report["levels"].append(row)
+        tot_wave += t_wave
+        tot_occ += t_occ
+        print(
+            f"{level:>3} {live:>9} {100*live/n:>6.2f} "
+            f"{t_wave:>8.2f} {t_occ:>8.2f}"
+        )
+        prev = out
+
+    report["total_wave_ms"] = round(tot_wave, 2)
+    report["total_occ_ms"] = round(tot_occ, 2)
+    report["total_ms_per_tile"] = round(tot_wave + tot_occ, 2)
+    print(
+        f"totals: wave {tot_wave:.1f} ms, occ {tot_occ:.1f} ms "
+        f"=> {tot_wave + tot_occ:.1f} ms/tile of {n} rays "
+        f"({n / (tot_wave + tot_occ) / 1e3:.1f}M rays/s kernel-only)"
+    )
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+        print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()
