@@ -23,9 +23,10 @@ KIND_PLANE = 3
 GEOM_COLS = 17
 # Material columns appended by pack_geom_table_shaded (cols 17..28):
 # diffuse rgb, specular rgb, k_ambient, k_diffuse, k_specular, shininess,
-# roughness, reflectivity — everything the no-texture shading fast path
-# needs (transparency/ior/tex_id excluded: the wavefront megakernel only
-# runs on reflection-only, untextured scenes).
+# roughness, reflectivity — everything the fused shading megakernel needs
+# (transparency/ior excluded: the wavefront megakernel only runs on
+# reflection-only scenes).  Textured scenes append one more column, the
+# texture atlas slot (col 29; -1 = no texture).
 MAT_COLS = 12
 SHADED_COLS = GEOM_COLS + MAT_COLS
 
@@ -79,7 +80,7 @@ def pack_geom_table_chunked(scene: Scene, chunk: int):
     return table
 
 
-def pack_geom_table_sorted(scene: Scene, chunk: int = 1):
+def pack_geom_table_sorted(scene: Scene, chunk: int = 1, pad_gid: float = 0.0):
     """Kind-sorted geom table + static per-kind loop ranges.
 
     Returns (table, ranges) where table is the (G, 17) table with rows
@@ -94,7 +95,11 @@ def pack_geom_table_sorted(scene: Scene, chunk: int = 1):
     chunk > 1 pads every kind segment to a multiple of `chunk` with
     all-zero rows, which miss every ray for every kind (zero transforms
     degenerate each primitive test) — the occlusion kernel unrolls its
-    early-exit loop by `chunk` and needs aligned segment ends.
+    early-exit loop by `chunk` and needs aligned segment ends.  pad_gid
+    sets the pad rows' id column: keep 0 (harmless — pads never win a
+    closest-hit min) or pass a negative sentinel when a consumer matches
+    table rows by id and must never match a pad
+    (pack_geom_table_shaded's winner-record sweep).
 
     Requires scene.kind_counts (set by the loader); falls back to a single
     mixed range when counts don't cover the table (hand-built scenes).
@@ -102,24 +107,29 @@ def pack_geom_table_sorted(scene: Scene, chunk: int = 1):
     table = pack_geom_table(scene)
     ns, nc, nr = scene.kind_counts
     if ns + nc + nr != scene.n_prims:
-        spec = []
+        counts = []
+        kinds = []
         if scene.n_prims:
-            spec.append((-1, 0, scene.n_prims))  # -1 = mixed kinds
+            counts.append(scene.n_prims)
+            kinds.append(-1)  # mixed kinds
         if scene.n_planes:
-            spec.append((KIND_PLANE, scene.n_prims, scene.n_geoms))
-        return table, tuple(spec)
-    order = jnp.argsort(table[:, 15], stable=True)
-    table = table[order]
-    counts = [ns, nc, nr, scene.n_planes]
+            counts.append(scene.n_planes)
+            kinds.append(KIND_PLANE)
+    else:
+        order = jnp.argsort(table[:, 15], stable=True)
+        table = table[order]
+        counts = [ns, nc, nr, scene.n_planes]
+        kinds = [0, 1, 2, KIND_PLANE]
     if chunk > 1:
         padded = [-(-c // chunk) * chunk for c in counts]
         segs = []
         start = 0
-        for kind, (c, p) in enumerate(zip(counts, padded)):
+        for kind, c, p in zip(kinds, counts, padded):
             seg = table[start : start + c]
             if p > c:
                 pad = jnp.zeros((p - c, GEOM_COLS), table.dtype)
-                pad = pad.at[:, 15].set(float(kind))
+                pad = pad.at[:, 15].set(float(max(kind, 0)))
+                pad = pad.at[:, 16].set(pad_gid)
                 seg = jnp.concatenate([seg, pad], axis=0)
             segs.append(seg)
             start += c
@@ -129,36 +139,44 @@ def pack_geom_table_sorted(scene: Scene, chunk: int = 1):
     for c in counts:
         bounds.append(bounds[-1] + c)
     ranges = tuple(
-        (kind, bounds[kind], bounds[kind + 1])
-        for kind in range(4)
-        if bounds[kind + 1] > bounds[kind]
+        (kind, bounds[i], bounds[i + 1])
+        for i, kind in enumerate(kinds)
+        if bounds[i + 1] > bounds[i]
     )
     return table, ranges
 
 
-def pack_geom_table_shaded(scene: Scene):
+def pack_geom_table_shaded(scene: Scene, chunk: int = 1, with_tex: bool = False):
     """Kind-sorted geom table with the per-geom material record appended
-    (SHADED_COLS columns) for the fused shading megakernel
-    (kernels/wavefront.py).  Material rows follow the table's id column,
-    so chunk-pad rows (id 0) carry garbage material — harmless, they never
-    win the closest-hit min (t = +inf)."""
-    table, ranges = pack_geom_table_sorted(scene)
+    (SHADED_COLS columns; +1 texture-slot column when with_tex) for the
+    fused shading megakernel (kernels/wavefront.py).  Material rows follow
+    the table's id column; chunk-pad rows carry id -2 so the kernel's
+    winner-record id-match sweep can never select one (they also never win
+    the closest-hit min — zero transforms miss every ray)."""
+    table, ranges = pack_geom_table_sorted(scene, chunk=chunk, pad_gid=-2.0)
     ids = jnp.round(table[:, 16]).astype(jnp.int32)
     m = scene.materials
-    mat = jnp.concatenate(
-        [
-            m.diffuse,
-            m.specular,
-            m.k_ambient[:, None],
-            m.k_diffuse[:, None],
-            m.k_specular[:, None],
-            m.shininess[:, None],
-            m.roughness[:, None],
-            m.reflectivity[:, None],
-        ],
-        axis=1,
-    )  # (M, MAT_COLS)
+    cols = [
+        m.diffuse,
+        m.specular,
+        m.k_ambient[:, None],
+        m.k_diffuse[:, None],
+        m.k_specular[:, None],
+        m.shininess[:, None],
+        m.roughness[:, None],
+        m.reflectivity[:, None],
+    ]
+    if with_tex:
+        cols.append(m.tex_id.astype(jnp.float32)[:, None])
+    mat = jnp.concatenate(cols, axis=1)  # (M, MAT_COLS [+1])
+    # Pad ids (-2) gather zero rows; real rows get their material record.
     matrows = onehot_gather(mat, ids)  # (G, MAT_COLS); G is small here
+    if with_tex:
+        # onehot_gather zeroes out-of-range rows, which would turn pad
+        # rows' "no texture" into slot 0; force the -1 sentinel there.
+        matrows = matrows.at[:, -1].set(
+            jnp.where(ids >= 0, matrows[:, -1], -1.0)
+        )
     return jnp.concatenate([table, matrows], axis=1), ranges
 
 

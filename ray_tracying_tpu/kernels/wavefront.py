@@ -1,39 +1,46 @@
-"""Fused wavefront level megakernel: closest hit + material recovery +
-Blinn-Phong prep + continuation spawn in ONE Pallas pass.
+"""Fused wavefront level megakernel: the ENTIRE bounce level — closest
+hit, material recovery, Blinn-Phong, SHADOW VISIBILITY (in-kernel any-hit
+loops, point and spherical area lights), texture UV recovery, and
+continuation spawn — in ONE Pallas pass per level.
 
-Motivation (xprof, bench scene, 4.2M-ray tile): the Pallas intersection
-kernels cost ~43 ms of a ~194 ms level loop — the other ~150 ms is jnp
-glue between them (ray packing/transposes, one-hot material gather,
-shading math, spawn math, RNG), all of it liveness-INDEPENDENT, running
-over every queue slot at every bounce level while the kernels skip dead
-blocks.  Fusing the whole level body into the kernel makes the glue
-inherit dead-block skipping and keeps every intermediate in registers.
+Motivation, round 3 (tools/profile_wave.py on the bundled bvh scene,
+4.2M-ray tiles, TPU v5e): with occlusion as SEPARATE kernels the two
+shadow passes cost 188 ms of a 341 ms level loop and stayed ~16 ms/level
+even at 0.1% live — each pass re-read the whole 31-row level tensor from
+HBM, so dead levels were pure DMA.  Folding the any-hit loops into the
+level kernel removes 2 dispatches + 2 full-tensor reads per level AND
+lets visibility multiply into the contribution in registers, shrinking
+the output tensor from 9(1+L)+3(1+L)+1 rows to a flat 13 (19 textured).
 
-Dataflow (all row-major (rows, R) f32, BLOCK-columned):
+Dataflow (all row-major (rows, R) f32, WAVE_BLOCK-columned):
 
   queue pack     rows 0..8   [ox oy oz dx dy dz time act tp]
-  level output   rows 0..8                 next queue pack (same layout)
-                 rows 9(1+li)..9(2+li)-1   shadow pack, light li:
-                                           [o3 d3 0 act maxt]
-                 rows CB..CB+2             base contribution (ambient +
-                                           miss-background, tp-weighted)
-                 rows CB+3(1+li)..+2       light li contribution
-                                           (pre-visibility, tp-weighted)
-                 row  HR                   act_hit (stats)
+  level output   rows 0..8   next queue pack (same layout)
+                 rows 9..11  contribution (tp-weighted, visibility
+                             applied): the FINAL level radiance for
+                             untextured scenes; the texture-pending
+                             diffuse part D for textured scenes
+                 rows 12..14 (textured only) S: specular + miss-
+                             background part (not modulated by texture)
+                 rows 15..17 (textured only) u, v, texture slot (-1 none)
+                 last row    act_hit (stats)
 
-The layout is chosen so the NEXT level's megakernel reads the previous
-output tensor directly at row-block 0, and the shadow occlusion kernel
-reads row-block 1+li — zero repacking between kernels, ever.  The level
-loop in jnp shrinks to `accum += base + sum(contrib_li * visibility_li)`.
+The next level's megakernel reads the previous output tensor directly at
+row-block 0 — zero repacking between levels.  The jnp glue per level is
+`accum += out[9:12]` (untextured) or `accum += out[9:12] * tex(u,v,slot)
++ out[12:15]` (textured; the atlas gather runs in XLA where gathers are
+fast — Mosaic has no efficient per-lane VMEM gather).
 
-Scope (trace_wavefront gates; everything else takes the general path):
-no textures, no refraction, point lights only (radius 0 -> exactly 1
-hard-shadow sample, Code/raytracer.cpp:207), scene table + material
-columns fit SMEM.  Semantics are the reference's, cited inline; glossy
-fuzz uses an in-kernel counter-based hash RNG (per global lane) instead
-of the host threefry stream — a different stream of the same
-distribution, covered by the stochastic-tolerance contract (SURVEY.md §7
-controlled deviations).
+Scope (wave_supported gates; everything else takes the general path):
+no refraction, <= 4 lights, scene table fits SMEM, textured scenes must
+carry an atlas and have no textured legacy planes (plane UV needs the
+corner table; transformed prims' UVs are reconstructed in-kernel).
+Semantics are the reference's, cited inline; glossy fuzz and area-light
+shadow jitter are sampled OUTSIDE the kernel with jax.random (XLA's
+transcendentals are ~50x faster than Mosaic's; measured 58 ms vs ~1 ms
+per 4M lanes) and fed in as fuzz rows — a different stream of the same
+distribution as the general path, covered by the stochastic-tolerance
+contract (SURVEY.md §7 controlled deviations).
 """
 
 from __future__ import annotations
@@ -69,73 +76,79 @@ _TINY = 1e-20
 # kernel keeps ~20 live vectors through its loops and spills at 2048.
 WAVE_BLOCK = 2048
 
-# The shaded table is (29, G) f32 in SMEM (~116 B/geom); cap well under
+# The shaded table is (30, G) f32 in SMEM (~120 B/geom); cap well under
 # the ~1 MB SMEM budget with double-buffering headroom.
 WAVE_MAX_GEOMS = 6144
 
 Q_ROWS = 9
+C_BASE = 9   # contribution rows (D when textured)
+S_BASE = 12  # textured only: specular + background rows
+UV_BASE = 15  # textured only: u, v, slot rows
 
 
-def out_rows(n_lights: int) -> int:
-    return 9 * (1 + n_lights) + 3 * (1 + n_lights) + 1
+def out_rows(has_tex: bool) -> int:
+    """Level-output row count: queue(9) + contrib(3) [+ spec(3) + uv(3)]
+    + act_hit(1)."""
+    return 19 if has_tex else 13
 
 
-def _contrib_base(n_lights: int) -> int:
-    return 9 * (1 + n_lights)
+def hit_row(has_tex: bool) -> int:
+    return out_rows(has_tex) - 1
 
 
-def _hash_u01(seed0, seed1, lane, stream: int):
-    """Counter-based uniform [0,1) from a lowbias32-style integer hash —
-    pure vector integer ops, so it runs identically under Mosaic and the
-    interpreter (pltpu.prng_* has no CPU-interpret lowering)."""
-    x = lane.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
-    x = x + seed0.astype(jnp.uint32)
-    x = x ^ (
-        seed1.astype(jnp.uint32)
-        + jnp.uint32((stream * 0x85EBCA6B) & 0xFFFFFFFF)
-    )
-    x = x ^ (x >> 16)
-    x = x * jnp.uint32(0x7FEB352D)
-    x = x ^ (x >> 15)
-    x = x * jnp.uint32(0x846CA68B)
-    x = x ^ (x >> 16)
-    # Mosaic has no uint32->f32 cast; the 24-bit value fits int32 exactly.
-    return (x >> 8).astype(jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
+class _ShadowRays:
+    """Duck-typed RayBlock over in-register shadow-ray vectors (geom_t
+    only touches these attributes).  Shadow rays carry time = 0 (Ray
+    default, Code/shapes.hpp:28), so tm is only read when a motion spec
+    is passed — the shadow any-hit always runs with motion off."""
+
+    __slots__ = ("ox", "oy", "oz", "dx", "dy", "dz", "tm", "dnorm")
+
+    def __init__(self, ox, oy, oz, dx, dy, dz):
+        self.ox, self.oy, self.oz = ox, oy, oz
+        self.dx, self.dy, self.dz = dx, dy, dz
+        self.tm = jnp.zeros_like(ox)
+        self.dnorm = jnp.sqrt(dx * dx + dy * dy + dz * dz)
 
 
-def _unit_ball_sample(seed_ref, w, pid):
-    """Uniform-in-unit-ball: direction from a Box-Muller gaussian triple,
-    radius = U^(1/3) (the reference rejection sampler's target
-    distribution, Code/raytracer.cpp:152-171).  Counter-based per global
-    lane, so every block draws an independent stream.  pid is hoisted to
-    the kernel top level (program_id inside a pl.when body breaks the
-    CPU interpreter)."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)[:, 0] + pid * w
-    u = [
-        _hash_u01(seed_ref[0], seed_ref[1], lane, k) for k in range(5)
-    ]
-    u0 = jnp.maximum(u[0], 1e-7)
-    u2 = jnp.maximum(u[2], 1e-7)
-    r0 = jnp.sqrt(-2.0 * jnp.log(u0))
-    r2 = jnp.sqrt(-2.0 * jnp.log(u2))
-    two_pi = 6.2831853
-    gx = r0 * jnp.cos(two_pi * u[1])
-    gy = r0 * jnp.sin(two_pi * u[1])
-    gz = r2 * jnp.cos(two_pi * u[3])
-    gn = jnp.sqrt(gx * gx + gy * gy + gz * gz)
-    inv = 1.0 / jnp.maximum(gn, _TINY)
-    rad = jnp.exp(jnp.log(jnp.maximum(u[4], 1e-7)) / 3.0)
-    return gx * inv * rad, gy * inv * rad, gz * inv * rad
+def _any_hit(table_ref, ranges, rb, maxt, init_blocked):
+    """In-kernel any-hit: blocked[r] = 1 iff some geom has hit distance
+    <= maxt[r] (visible iff min_t > light_dist, Code/raytracer.cpp:233-235
+    — the complement).  Early-exits each kind loop once every lane in the
+    block is blocked; lanes that never needed visibility start blocked so
+    they cannot hold the loop open.  Kind segments are OCC_CHUNK-padded
+    (kernels/geom_table.py), letting the loop unroll CHUNK geom tests per
+    iteration (a 1-geom while_loop serializes on its carried reduction)."""
+    blocked = init_blocked
+    for kind, start, end in ranges:
+        spec = _kind_spec(kind, False)
+
+        def cond(carry, end=end):
+            g, blk = carry
+            return (g < end) & (jnp.min(blk) < 1.0)
+
+        def body(carry, spec=spec):
+            g, blk = carry
+            hit = jnp.zeros(blk.shape, jnp.float32)
+            for i in range(OCC_CHUNK):
+                t_geom, _ = geom_t(g + i, table_ref, rb, spec)
+                hit = jnp.maximum(hit, (t_geom <= maxt).astype(jnp.float32))
+            return g + OCC_CHUNK, jnp.maximum(blk, hit)
+
+        _, blocked = lax.while_loop(cond, body, (start, blocked))
+    return blocked
 
 
 def _wave_kernel(
-    seed_ref, q_ref, fuzz_ref, table_ref, light_ref, out_ref,
-    *, ranges, motion, n_lights, n_geoms, glossy, min_tp, ablate=(),
+    q_ref, fuzz_ref, table_ref, light_ref, out_ref,
+    *, ranges, motion, n_lights, glossy, min_tp, has_tex, uv_kinds,
+    area, nss, ablate=(),
 ):
     w = out_ref.shape[1]
-    cb = _contrib_base(n_lights)
-    hr = cb + 3 * (1 + n_lights)
-    out_ref[...] = jnp.zeros((out_rows(n_lights), w), jnp.float32)
+    rows = out_rows(has_tex)
+    hr = rows - 1
+    n_rows_table = max(end for _, _, end in ranges)
+    out_ref[...] = jnp.zeros((rows, w), jnp.float32)
 
     act = q_ref[7, :]
 
@@ -169,12 +182,22 @@ def _wave_kernel(
         inv_n = 1.0 / jnp.maximum(ln, _TINY)
         nx, ny, nz = bnx * inv_n, bny * inv_n, bnz * inv_n
 
-        # --- material recovery: one select sweep over the table's id
-        # column (cheaper than carrying 12 columns through the hit loop;
+        # --- winner-record recovery: one select sweep over the table's id
+        # column (cheaper than carrying the columns through the hit loop;
         # best_id from geom_step_n is the geom's ORIGINAL id, col 16, and
         # the shaded table's material rows are row-aligned — so match on
-        # the id column, not the row number).
+        # the id column, not the row number).  Textured scenes also sweep
+        # the winner's w2o/velocity/kind/texture-slot columns for the UV
+        # reconstruction below.  Chunk-pad rows carry id -2 so they can
+        # never match (kernels/geom_table.py).
         best_id_f = best_id.astype(jnp.float32)
+        sweep_cols = list(range(GEOM_COLS, GEOM_COLS + 12))  # material
+        if has_tex:
+            sweep_cols.append(GEOM_COLS + 12)        # texture slot
+            sweep_cols.extend(range(12))             # w2o 3x4
+            sweep_cols.append(15)                    # kind
+            if motion:
+                sweep_cols.extend((12, 13, 14))      # velocity
 
         def mat_step(g, cols):
             # Float compare against the id column: ids are small integers,
@@ -182,15 +205,17 @@ def _wave_kernel(
             # iteration's vector pipeline.
             sel = best_id_f == table_ref[16, g]
             return tuple(
-                jnp.where(sel, table_ref[GEOM_COLS + c, g], cols[c])
-                for c in range(12)
+                jnp.where(sel, table_ref[c, g], cols[i])
+                for i, c in enumerate(sweep_cols)
             )
 
         if 'mat' in ablate:
-            mat = tuple(zero + 0.5 for _ in range(12))
+            swept = tuple(zero + 0.5 for _ in sweep_cols)
         else:
-            mat = lax.fori_loop(0, n_geoms, mat_step, (zero,) * 12)
-        dr, dg, db, sr, sg, sb, ka, kd, ks, shin, rough, refl = mat
+            swept = lax.fori_loop(
+                0, n_rows_table, mat_step, (zero,) * len(sweep_cols)
+            )
+        dr, dg, db, sr, sg, sb, ka, kd, ks, shin, rough, refl = swept[:12]
 
         # --- hit point & view (V = normalize(origin - point) == -d for
         # unit d, Code/raytracer.cpp:197)
@@ -204,23 +229,29 @@ def _wave_kernel(
         # (Code/raytracer.cpp:346-350)
         w_local = jnp.where(hit_f, tp * jnp.maximum(0.0, 1.0 - refl), 0.0)
 
-        # --- base contribution: ambient (Code/raytracer.cpp:194) + miss
-        # background (:296-298)
+        # --- contribution accumulators.  Textured scenes split D (scaled
+        # by the texel in the glue) from S (specular + background); the
+        # reference tints ambient AND diffuse by the texel
+        # (Code/material.hpp:122-133 via shade, Code/raytracer.cpp:194).
         amb = ka * w_local
-        out_ref[cb + 0, :] = dr * amb + C.BACKGROUND_RGB[0] * w_miss
-        out_ref[cb + 1, :] = dg * amb + C.BACKGROUND_RGB[1] * w_miss
-        out_ref[cb + 2, :] = db * amb + C.BACKGROUND_RGB[2] * w_miss
+        d_r, d_g, d_b = dr * amb, dg * amb, db * amb
+        s_r = C.BACKGROUND_RGB[0] * w_miss
+        s_g = C.BACKGROUND_RGB[1] * w_miss
+        s_b = C.BACKGROUND_RGB[2] * w_miss
 
-        # --- per point light: Blinn-Phong from the light center
-        # (Code/raytracer.cpp:244-262) + hard shadow ray (radius 0 -> one
-        # sample at the center, :207)
+        # --- per light: Blinn-Phong from the light CENTER even for area
+        # lights (Code/raytracer.cpp:244-262); visibility in-kernel —
+        # 1 hard-shadow ray for radius 0, nss jittered rays for area
+        # lights (:199-236, radius 0 -> one sample, :207).
         sox = px + nx * C.EPS_NORMAL_OFFSET
         soy = py + ny * C.EPS_NORMAL_OFFSET
         soz = pz + nz * C.EPS_NORMAL_OFFSET
+        fz = 3 if glossy else 0
         for li in range(0 if 'lights' in ablate else n_lights):
             lpx, lpy, lpz = light_ref[0, li], light_ref[1, li], light_ref[2, li]
             lr, lg, lb = light_ref[3, li], light_ref[4, li], light_ref[5, li]
             inten = light_ref[6, li]
+            lrad = light_ref[7, li]
             lvx, lvy, lvz = lpx - px, lpy - py, lpz - pz
             d2 = lvx * lvx + lvy * lvy + lvz * lvz
             dist = jnp.sqrt(d2)
@@ -244,26 +275,144 @@ def _wave_kernel(
                 / (C.ATTEN_C0 + C.ATTEN_C1 * dist + C.ATTEN_C2 * d2)
             )
             scale = atten * w_local
-            cr = lr * (dr * kd * ndotl + sr * ks * spec_i) * scale
-            cg = lg * (dg * kd * ndotl + sg * ks * spec_i) * scale
-            cbv = lb * (db * kd * ndotl + sb * ks * spec_i) * scale
-            out_ref[cb + 3 * (1 + li) + 0, :] = cr
-            out_ref[cb + 3 * (1 + li) + 1, :] = cg
-            out_ref[cb + 3 * (1 + li) + 2, :] = cbv
+            dif = kd * ndotl * scale
+            spc = ks * spec_i * scale
+            pr, pg, pb = lr * dr * dif, lg * dg * dif, lb * db * dif
+            qr, qg, qb = lr * sr * spc, lg * sg * spc, lb * sb * spc
             # zero-contribution lanes skip visibility (result unchanged;
-            # feeds the occlusion kernel's early exit)
-            needs = (cr != 0.0) | (cg != 0.0) | (cbv != 0.0)
-            s_act = jnp.where(hit_f & needs, 1.0, 0.0)
-            srow = 9 * (1 + li)
-            out_ref[srow + 0, :] = sox
-            out_ref[srow + 1, :] = soy
-            out_ref[srow + 2, :] = soz
-            out_ref[srow + 3, :] = lcx
-            out_ref[srow + 4, :] = lcy
-            out_ref[srow + 5, :] = lcz
-            # row 6 stays 0 (shadow time, Code/shapes.hpp:28)
-            out_ref[srow + 7, :] = s_act
-            out_ref[srow + 8, :] = dist
+            # they start "blocked" so the any-hit early exit fires sooner)
+            needs = (
+                (pr != 0.0) | (pg != 0.0) | (pb != 0.0)
+                | (qr != 0.0) | (qg != 0.0) | (qb != 0.0)
+            )
+            s_act = hit_f & needs
+            init_blk = jnp.where(s_act, 0.0, 1.0)
+            if 'occ' in ablate:
+                vis = jnp.where(s_act, 1.0, 0.0)
+            elif area[li]:
+                vsum = zero
+                for _ in range(nss):
+                    fxr = fuzz_ref[fz + 0, :]
+                    fyr = fuzz_ref[fz + 1, :]
+                    fzr = fuzz_ref[fz + 2, :]
+                    fz += 3
+                    txp = lpx + lrad * fxr
+                    typ = lpy + lrad * fyr
+                    tzp = lpz + lrad * fzr
+                    svx, svy, svz = txp - px, typ - py, tzp - pz
+                    sdist = jnp.sqrt(svx * svx + svy * svy + svz * svz)
+                    inv_s = 1.0 / jnp.maximum(sdist, _TINY)
+                    srb = _ShadowRays(
+                        sox, soy, soz,
+                        svx * inv_s, svy * inv_s, svz * inv_s,
+                    )
+                    blk = _any_hit(table_ref, ranges, srb, sdist, init_blk)
+                    vsum = vsum + (1.0 - blk)
+                vis = vsum * (1.0 / nss)
+            else:
+                srb = _ShadowRays(sox, soy, soz, lcx, lcy, lcz)
+                blk = _any_hit(table_ref, ranges, srb, dist, init_blk)
+                vis = 1.0 - blk
+            d_r = d_r + pr * vis
+            d_g = d_g + pg * vis
+            d_b = d_b + pb * vis
+            s_r = s_r + qr * vis
+            s_g = s_g + qg * vis
+            s_b = s_b + qb * vis
+
+        if has_tex:
+            out_ref[C_BASE + 0, :] = d_r
+            out_ref[C_BASE + 1, :] = d_g
+            out_ref[C_BASE + 2, :] = d_b
+            out_ref[S_BASE + 0, :] = s_r
+            out_ref[S_BASE + 1, :] = s_g
+            out_ref[S_BASE + 2, :] = s_b
+        else:
+            out_ref[C_BASE + 0, :] = d_r + s_r
+            out_ref[C_BASE + 1, :] = d_g + s_g
+            out_ref[C_BASE + 2, :] = d_b + s_b
+
+        # --- texture UV reconstruction for the winner (textured scenes):
+        # rebuild the object-space hit point from the swept w2o (one pass
+        # per LANE, not per geom) and apply the per-kind UV mapping
+        # (Code/shapes.cpp:257-259 sphere, :396-407 cube entry-face,
+        # :318-321 rect).
+        if has_tex:
+            w2o = swept[13:25]
+            kindv = swept[25]
+            slotv = swept[12]
+            if motion:
+                velx, vely, velz = swept[26], swept[27], swept[28]
+                osx = rb.ox - velx * rb.tm
+                osy = rb.oy - vely * rb.tm
+                osz = rb.oz - velz * rb.tm
+            else:
+                osx, osy, osz = rb.ox, rb.oy, rb.oz
+            olx = w2o[0] * osx + w2o[1] * osy + w2o[2] * osz + w2o[3]
+            oly = w2o[4] * osx + w2o[5] * osy + w2o[6] * osz + w2o[7]
+            olz = w2o[8] * osx + w2o[9] * osy + w2o[10] * osz + w2o[11]
+            dlx = w2o[0] * rb.dx + w2o[1] * rb.dy + w2o[2] * rb.dz
+            dly = w2o[4] * rb.dx + w2o[5] * rb.dy + w2o[6] * rb.dz
+            dlz = w2o[8] * rb.dx + w2o[9] * rb.dy + w2o[10] * rb.dz
+            # best_t is Euclidean = t_loc * |d| (Code/shapes.cpp:251-253).
+            t_loc = t_fin / jnp.maximum(rb.dnorm, _TINY)
+            plx = olx + t_loc * dlx
+            ply = oly + t_loc * dly
+            plz = olz + t_loc * dlz
+            u = zero
+            v = zero
+            has_s, has_c, has_r = uv_kinds
+            if has_s:
+                # Spherical UV (Code/shapes.cpp:257-259).
+                pi = 3.14159265358979
+                u_s = 0.5 + jnp.arctan2(plz, plx) / (2.0 * pi)
+                v_s = 0.5 - jnp.arcsin(jnp.clip(ply, -1.0, 1.0)) / pi
+                sel = kindv == 0.0
+                u = jnp.where(sel, u_s, u)
+                v = jnp.where(sel, v_s, v)
+            if has_c:
+                # Entry face: recompute slab entries once per lane; ties
+                # break first-wins like the reference's sequential update
+                # (render/intersect.py cube UV table).
+                ents = []
+                sgns = []
+                for oo, ddc in ((olx, dlx), (oly, dly), (olz, dlz)):
+                    par = jnp.abs(ddc) < C.EPS_PARALLEL
+                    d_safe = jnp.where(par, 1.0, ddc)
+                    s1 = (-0.5 - oo) / d_safe
+                    s2 = (0.5 - oo) / d_safe
+                    ents.append(jnp.where(par, -_INF, jnp.minimum(s1, s2)))
+                    sgns.append(jnp.where(s1 < s2, -1.0, 1.0))
+                win1 = ents[1] > ents[0]
+                axv = jnp.where(win1, ents[1], ents[0])
+                win2 = ents[2] > axv
+                ax0 = ~win1 & ~win2
+                ax1 = win1 & ~win2
+                sgn = jnp.where(
+                    win2, sgns[2], jnp.where(win1, sgns[1], sgns[0])
+                )
+                pos = sgn > 0.0
+                uc = plx + 0.5
+                vc = ply + 0.5
+                wc = plz + 0.5
+                u_c = jnp.where(
+                    ax0,
+                    jnp.where(pos, wc, 1.0 - wc),
+                    jnp.where(ax1, uc, jnp.where(pos, uc, 1.0 - uc)),
+                )
+                v_c = jnp.where(
+                    ax0, vc, jnp.where(ax1, jnp.where(pos, wc, 1.0 - wc), vc)
+                )
+                sel = kindv == 1.0
+                u = jnp.where(sel, u_c, u)
+                v = jnp.where(sel, v_c, v)
+            if has_r:
+                sel = kindv == 2.0
+                u = jnp.where(sel, plx + 0.5, u)
+                v = jnp.where(sel, ply + 0.5, v)
+            out_ref[UV_BASE + 0, :] = u
+            out_ref[UV_BASE + 1, :] = v
+            out_ref[UV_BASE + 2, :] = jnp.where(hit_f, slotv, -1.0)
 
         # --- reflection continuation (Code/raytracer.cpp:307-333)
         ddn = rb.dx * nx + rb.dy * ny + rb.dz * nz
@@ -271,15 +420,14 @@ def _wave_kernel(
         rdy = rb.dy - 2.0 * ddn * ny
         rdz = rb.dz - 2.0 * ddn * nz
         if glossy and 'glossy' not in ablate:
-            # Fuzz sampled OUTSIDE the kernel (XLA's transcendentals are
-            # ~50x faster than Mosaic's; measured 58 ms vs ~1 ms per 4M
-            # lanes) and fed in as (3, R) rows.
+            # Fuzz sampled OUTSIDE the kernel (see module docstring) and
+            # fed in as fuzz rows 0..2.
             fx = fuzz_ref[0, :]
             fy = fuzz_ref[1, :]
-            fz = fuzz_ref[2, :]
+            fzz = fuzz_ref[2, :]
             gx = rdx + rough * fx
             gy = rdy + rough * fy
-            gz = rdz + rough * fz
+            gz = rdz + rough * fzz
             gn = jnp.sqrt(gx * gx + gy * gy + gz * gz)
             inv_g = 1.0 / jnp.maximum(gn, _TINY)
             gx, gy, gz = gx * inv_g, gy * inv_g, gz * inv_g
@@ -308,53 +456,24 @@ def _wave_kernel(
         out_ref[hr, :] = act_hit
 
 
-def _occ9_kernel(rays_ref, table_ref, out_ref, *, ranges, motion, srow):
-    """Any-hit on the shadow row group starting at `srow` of the level
-    output tensor (act at srow+7, maxt at srow+8); otherwise identical to
-    closest_hit._occlusion_kernel incl. the block early exit."""
-    act = rays_ref[srow + 7, :]
-    w = out_ref.shape[1]
-    out_ref[0, :] = jnp.zeros((w,), jnp.float32)
-
-    @pl.when(jnp.max(act) > 0.0)
-    def _():
-        rb = RayBlock(rays_ref, base=srow)
-        maxt = rays_ref[srow + 8, :]
-        blocked = jnp.where(act > 0.0, 0.0, 1.0)
-        for kind, start, end in ranges:
-            spec = _kind_spec(kind, motion)
-
-            def cond(carry, end=end):
-                g, blk = carry
-                return (g < end) & (jnp.min(blk) < 1.0)
-
-            def body(carry, spec=spec):
-                g, blk = carry
-                hit = jnp.zeros(blk.shape, jnp.float32)
-                for i in range(OCC_CHUNK):
-                    t_geom, _ = geom_t(g + i, table_ref, rb, spec)
-                    hit = jnp.maximum(hit, (t_geom <= maxt).astype(jnp.float32))
-                return g + OCC_CHUNK, jnp.maximum(blk, hit)
-
-            _, blocked = lax.while_loop(cond, body, (start, blocked))
-        out_ref[0, :] = jnp.where(act > 0.0, blocked, 0.0)
-
-
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11)
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13)
 )
 def wave_level_call(
-    out_prev, seed, fuzz, table, lights, ranges, motion, n_lights, n_geoms,
-    glossy, min_tp, ablate=(),
+    out_prev, fuzz, table, lights, ranges, motion, n_lights, glossy,
+    min_tp, has_tex, uv_kinds, area, nss, ablate=(),
 ):
-    """One bounce level.  out_prev: the previous level's (OUT_ROWS, R_pad)
-    output (or the primary bootstrap tensor); the queue is its row-block 0."""
+    """One bounce level.  out_prev: the previous level's (rows, R_pad)
+    output (or the primary bootstrap tensor); the queue is its row-block 0.
+    fuzz: (F, R_pad) XLA-sampled unit-ball rows — glossy fuzz first (when
+    glossy), then 3*nss rows per area light in light order."""
     r_pad = out_prev.shape[1]
-    rows = out_rows(n_lights)
+    rows = out_rows(has_tex)
     kernel = functools.partial(
         _wave_kernel,
-        ranges=ranges, motion=motion, n_lights=n_lights, n_geoms=n_geoms,
-        glossy=glossy, min_tp=min_tp, ablate=ablate,
+        ranges=ranges, motion=motion, n_lights=n_lights, glossy=glossy,
+        min_tp=min_tp, has_tex=has_tex, uv_kinds=uv_kinds, area=area,
+        nss=nss, ablate=ablate,
     )
     # Input block = the FULL row dimension (Mosaic requires block rows
     # divisible by 8 or equal to the array's); the kernel reads only the
@@ -364,15 +483,16 @@ def wave_level_call(
         kernel,
         grid=(r_pad // WAVE_BLOCK,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (2,)
             pl.BlockSpec(
                 (out_prev.shape[0], WAVE_BLOCK),
                 lambda i: (0, i),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (3, WAVE_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM
-            ),  # glossy fuzz rows
+                (fuzz.shape[0], WAVE_BLOCK),
+                lambda i: (0, i),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # shaded geom table
             pl.BlockSpec(memory_space=pltpu.SMEM),  # light table
         ],
@@ -381,74 +501,47 @@ def wave_level_call(
         ),
         out_shape=jax.ShapeDtypeStruct((rows, r_pad), jnp.float32),
         interpret=pallas_interpret(),
-    )(seed, out_prev, fuzz, table, lights)
+    )(out_prev, fuzz, table, lights)
 
 
 wave_level_call.defvjp(
-    lambda out_prev, seed, fuzz, table, lights, *nd: (
-        wave_level_call(out_prev, seed, fuzz, table, lights, *nd), None
+    lambda out_prev, fuzz, table, lights, *nd: (
+        wave_level_call(out_prev, fuzz, table, lights, *nd), None
     ),
-    lambda *args: (None, None, None, None, None),
+    lambda *args: (None, None, None, None),
 )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def occluded9_call(out_lvl, table, light_idx, ranges, motion):
-    """Shadow visibility for light `light_idx`, reading the level output's
-    shadow row-block directly.  Returns blocked (1, R_pad) f32."""
-    r_pad = out_lvl.shape[1]
-    kernel = functools.partial(
-        _occ9_kernel, ranges=ranges, motion=motion,
-        srow=Q_ROWS * (1 + light_idx),
-    )
-    return pl.pallas_call(
-        kernel,
-        grid=(r_pad // WAVE_BLOCK,),
-        in_specs=[
-            pl.BlockSpec(
-                (out_lvl.shape[0], WAVE_BLOCK),
-                lambda i: (0, i),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, WAVE_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((1, r_pad), jnp.float32),
-        interpret=pallas_interpret(),
-    )(out_lvl, table)
-
-
-occluded9_call.defvjp(
-    lambda out_lvl, table, *nd: (occluded9_call(out_lvl, table, *nd), None),
-    lambda *args: (None, None),
-)
-
-
-def wave_supported(scene: Scene) -> bool:
+def wave_supported(scene: Scene, light_samples: int = 1) -> bool:
     """Static gate for the fused level path (see module docstring)."""
-    return (
-        0 < scene.n_geoms <= WAVE_MAX_GEOMS
-        and not scene.has_textures
-        and not scene.has_refraction
-        and scene.n_lights <= 4
-        and not any(scene.lights.is_area)
-    )
+    if not (0 < scene.n_geoms <= WAVE_MAX_GEOMS):
+        return False
+    if scene.has_refraction or scene.n_lights > 4:
+        return False
+    if scene.has_textures:
+        if scene.tex_atlas is None:
+            return False
+        # Legacy-plane UV needs the corner table; not carried in-kernel.
+        if scene.n_planes > 0:
+            return False
+    # Cap the fuzz operand (3 rows per area-light shadow sample).
+    n_area = sum(1 for a in scene.lights.is_area if a)
+    if n_area and light_samples * n_area > 32:
+        return False
+    return True
 
 
 def wave_tables(scene: Scene):
-    """(shaded table (29, G) transposed for SMEM, static kind ranges,
-    occlusion table + ranges, light table (8, L))."""
-    from ray_tracying_tpu.kernels.geom_table import pack_geom_table_sorted
-
-    table, ranges = pack_geom_table_shaded(scene)
-    occ_table, occ_ranges = pack_geom_table_sorted(scene, chunk=OCC_CHUNK)
+    """(shaded table (29|30, G) transposed for SMEM, static kind ranges,
+    light table (8, L)).  Kind segments are OCC_CHUNK-padded so the
+    in-kernel any-hit loops can unroll; the same table serves closest hit,
+    material recovery, and shadow tests."""
+    table, ranges = pack_geom_table_shaded(
+        scene, chunk=OCC_CHUNK, with_tex=scene.has_textures
+    )
     lights = pack_light_table(scene)
     return (
         lax.stop_gradient(table.T),
         ranges,
-        lax.stop_gradient(occ_table.T),
-        occ_ranges,
         lax.stop_gradient(lights),
     )

@@ -156,22 +156,48 @@ def _spawn_refraction(scene, q, hit, mrec, act, capacity, min_tp):
     )
 
 
+def _wave_tex_modulate(scene: Scene, out):
+    """Texture modulation for the fused path's split contribution: the
+    megakernel emits the texture-pending diffuse part D (rows C_BASE..)
+    plus the winner's (u, v, atlas slot); the nearest-neighbor atlas fetch
+    (Code/material.hpp:99-134: v flipped, C-style truncation, texel
+    multiplies the base diffuse tint already inside D) runs here in XLA —
+    gathers are fast in XLA and have no efficient Mosaic lowering."""
+    from ray_tracying_tpu.kernels.wavefront import C_BASE, S_BASE, UV_BASE
+
+    u = out[UV_BASE + 0]
+    v = out[UV_BASE + 1]
+    tid = jnp.round(out[UV_BASE + 2]).astype(jnp.int32)
+    tid_safe = jnp.maximum(tid, 0)
+    wh = scene.tex_wh[tid_safe]  # (R, 2) = (w, h)
+    tw = wh[:, 0].astype(jnp.float32)
+    th = wh[:, 1].astype(jnp.float32)
+    x = jnp.clip(jnp.floor(u * (tw - 1.0)), 0, tw - 1).astype(jnp.int32)
+    y = jnp.clip(jnp.floor((1.0 - v) * (th - 1.0)), 0, th - 1).astype(jnp.int32)
+    t_n, t_h, t_w, _ = scene.tex_atlas.shape
+    flat = scene.tex_atlas.reshape(t_n * t_h * t_w, 3)
+    texel = flat[(tid_safe * t_h + y) * t_w + x]  # (R, 3) XLA gather
+    tex = jnp.where((tid >= 0)[:, None], texel, 1.0).T  # (3, R)
+    return out[C_BASE : C_BASE + 3] * tex + out[S_BASE : S_BASE + 3]
+
+
 def _trace_wave(
     scene: Scene, o, d, times, key, light_samples, min_tp, return_stats,
     max_depth,
 ):
     """Fused-level fast path: the whole per-level body (closest hit,
-    material recovery, Blinn-Phong prep, hard-shadow ray emission,
-    reflection spawn) runs as ONE Pallas megakernel per level plus one
-    any-hit kernel per light, chained through a shared row-major tensor —
-    see kernels/wavefront.py.  Point lights force 1 shadow sample exactly
-    like the reference (Code/raytracer.cpp:207), so light_samples is
-    irrelevant here by construction."""
+    material recovery, Blinn-Phong, shadow VISIBILITY — in-kernel any-hit,
+    1 hard-shadow sample per point light exactly like the reference
+    (Code/raytracer.cpp:207), light_samples jittered rays per area light —
+    texture UV recovery, reflection spawn) runs as ONE Pallas megakernel
+    per level, chained through a shared row-major tensor — see
+    kernels/wavefront.py.  The per-level glue is one accumulate (plus one
+    atlas gather for textured scenes)."""
     from ray_tracying_tpu.kernels.wavefront import (
+        C_BASE,
         Q_ROWS,
         WAVE_BLOCK,
-        _contrib_base,
-        occluded9_call,
+        hit_row,
         out_rows,
         wave_level_call,
         wave_tables,
@@ -180,10 +206,12 @@ def _trace_wave(
     r = o.shape[0]
     r_pad = -(-r // WAVE_BLOCK) * WAVE_BLOCK
     n_l = scene.n_lights
-    rows = out_rows(n_l)
-    cb = _contrib_base(n_l)
-    hr = cb + 3 * (1 + n_l)
-    table, ranges, occ_table, occ_ranges, lights = wave_tables(scene)
+    has_tex = scene.has_textures
+    rows = out_rows(has_tex)
+    hr = hit_row(has_tex)
+    table, ranges, lights = wave_tables(scene)
+    area = tuple(scene.lights.is_area)
+    uv_kinds = (scene.has_spheres, scene.has_cubes, scene.has_rects)
 
     qrows = jnp.concatenate(
         [
@@ -198,34 +226,42 @@ def _trace_wave(
 
     levels = (max_depth + 1) if scene.has_reflection else 1
 
+    def level_fuzz(k_level):
+        """XLA-sampled unit-ball rows: glossy fuzz first, then 3 rows per
+        area-light shadow sample.  Same sampler family as the general
+        path (_spawn_reflection / shade), different stream — covered by
+        the stochastic-tolerance contract."""
+        parts = []
+        if scene.has_glossy:
+            parts.append(
+                uniform_in_unit_sphere(
+                    jax.random.fold_in(k_level, 1), (r_pad,)
+                ).T
+            )
+        for li in range(n_l):
+            if not area[li]:
+                continue
+            s = uniform_in_unit_sphere(
+                jax.random.fold_in(k_level, 2 + li), (r_pad, light_samples)
+            )  # (r_pad, S, 3)
+            parts.append(s.transpose(1, 2, 0).reshape(3 * light_samples, r_pad))
+        if not parts:
+            return jnp.zeros((1, r_pad), jnp.float32)
+        return jnp.concatenate(parts, axis=0)
+
     def body(carry, depth):
         accum, prev = carry
         k_level = jax.random.fold_in(key, depth)
-        seed = jax.lax.bitcast_convert_type(
-            jax.random.key_data(k_level), jnp.int32
-        )
-        if scene.has_glossy:
-            # Same sampler and fold-in as the general path's glossy fuzz
-            # (_spawn_reflection), drawn at the padded shape (r_pad,) — the
-            # stream differs from the general path's (capacity,) draw when
-            # the queue is padded, which the stochastic-tolerance contract
-            # covers.  Generated with XLA (Mosaic's transcendentals are
-            # ~50x slower) and fed to the kernel.
-            fuzz = uniform_in_unit_sphere(
-                jax.random.fold_in(k_level, 1), (r_pad,)
-            ).T
-        else:
-            fuzz = jnp.zeros((3, r_pad), jnp.float32)
+        fuzz = jax.lax.stop_gradient(level_fuzz(k_level))
         out = wave_level_call(
-            prev, seed, jax.lax.stop_gradient(fuzz), table, lights, ranges,
-            scene.has_motion, n_l, scene.n_geoms, scene.has_glossy, min_tp,
+            prev, fuzz, table, lights, ranges, scene.has_motion, n_l,
+            scene.has_glossy, min_tp, has_tex, uv_kinds, area,
+            light_samples,
         )
-        contrib = out[cb : cb + 3]
-        for li in range(n_l):
-            blocked = occluded9_call(out, occ_table, li, occ_ranges, False)
-            contrib = contrib + out[
-                cb + 3 * (1 + li) : cb + 3 * (2 + li)
-            ] * (1.0 - blocked)
+        if has_tex:
+            contrib = _wave_tex_modulate(scene, out)
+        else:
+            contrib = out[C_BASE : C_BASE + 3]
         accum = accum + contrib
         if return_stats:
             row = (
@@ -342,7 +378,7 @@ def trace_wavefront(
         if _use_pallas():
             from ray_tracying_tpu.kernels.wavefront import wave_supported
 
-            if wave_supported(scene):
+            if wave_supported(scene, light_samples):
                 return _trace_wave(
                     scene, origins, directions, times, key, light_samples,
                     min_throughput, return_stats, max_depth,

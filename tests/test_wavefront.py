@@ -64,12 +64,15 @@ def test_wave_supported_gate():
     d["spheres"] = [{"location": [0, 6, 0], "radius": 1.0,
                      "material": {"transparency": 0.5, "refractive_index": 1.5}}]
     assert not wave_supported(load_scene_dict(d))
-    # area lights disqualify
+    # area lights are supported (in-kernel jittered any-hit) — up to the
+    # fuzz-row cap of 32 samples x area lights
     d2 = minimal_camera()
     d2["lights"] = [{"location": [0, 0, 5], "color": [1, 1, 1],
                      "intensity": 100.0, "radius": 0.5}]
     d2["spheres"] = [{"location": [0, 6, 0], "radius": 1.0}]
-    assert not wave_supported(load_scene_dict(d2))
+    s2 = load_scene_dict(d2)
+    assert wave_supported(s2, light_samples=16)
+    assert not wave_supported(s2, light_samples=64)
 
 
 @needs_interpret
@@ -123,6 +126,80 @@ def test_wave_glossy_statistical():
     assert np.isfinite(got).all()
     # Direct lighting identical; only the glossy bounce differs.
     np.testing.assert_allclose(got.mean(0), ref.mean(0), rtol=0.05, atol=0.01)
+
+
+@needs_interpret
+def test_wave_area_lights_statistical():
+    """Area lights route through the wave path (in-kernel jittered
+    any-hit).  Jitter streams differ from the general path's, so compare
+    statistically; with light_samples=1 the estimator is noisy per-pixel
+    but unbiased — compare means over many rays."""
+    d = minimal_camera()
+    d["lights"] = [
+        {"location": [0, 0, 5], "color": [1, 1, 1], "intensity": 300.0,
+         "radius": 0.8},
+        {"location": [4, 2, 3], "color": [1.0, 0.8, 0.6], "intensity": 200.0},
+    ]
+    d["spheres"] = [
+        {"location": [0, 6, 0], "radius": 1.5,
+         "material": {"diffuse_color": [0.8, 0.2, 0.2]}},
+        {"location": [-1.0, 4.5, 1.2], "radius": 0.5,
+         "material": {"diffuse_color": [0.2, 0.6, 0.8]}},
+    ]
+    d["rectangles"] = [
+        {"translation": [0, 6, -2], "rotation": [0, 0, 0], "scale": [14, 14, 1],
+         "material": {"diffuse_color": [0.3, 0.5, 0.3]}},
+    ]
+    s = load_scene_dict(d)
+    from ray_tracying_tpu.kernels.wavefront import wave_supported
+
+    assert wave_supported(s, light_samples=8)
+    o, dd, tm = cam_rays(n=2048, seed=13)
+    key = jax.random.key(3)
+    ref = np.asarray(trace_wavefront(s, o, dd, tm, key, 8))
+    os.environ["RTT_PALLAS_INTERPRET"] = "1"
+    try:
+        got = np.asarray(trace_wavefront(s, o, dd, tm, key, 8))
+    finally:
+        del os.environ["RTT_PALLAS_INTERPRET"]
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got.mean(0), ref.mean(0), rtol=0.05, atol=0.01)
+
+
+@needs_interpret
+def test_wave_textured_matches_general_path():
+    """Textured scenes route through the wave path (in-kernel UV recovery
+    + XLA atlas gather); texture sampling is deterministic, so the match
+    is to float tolerance — slightly looser than the untextured case
+    because the kernel re-derives the local hit point from the Euclidean
+    t (t_loc = t/|d|, two extra roundings vs the general path's pass-2
+    reconstruction)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    from ray_tracying_tpu.scene.loader import load_scene
+    from ray_tracying_tpu.kernels.wavefront import wave_supported
+
+    s = load_scene(
+        os.path.join(repo, "golden/ASCII/texture.json"),
+        textures_dir=os.path.join(repo, "golden/Textures"),
+    )
+    assert s.has_textures
+    assert wave_supported(s)
+    o, dd, tm = cam_rays(n=512, seed=21)
+    # Aim at the textured objects (camera at origin looking +y misses
+    # them); retarget rays from the scene camera position.
+    o = jnp.broadcast_to(jnp.asarray([0.0, -4.5, 2.0]), o.shape)
+    aim = jnp.asarray([0.0, 0.9, -0.35]) + 0.35 * np.random.default_rng(3).normal(
+        size=(o.shape[0], 3)
+    ).astype(np.float32)
+    dd = aim / jnp.linalg.norm(aim, axis=1, keepdims=True)
+    key = jax.random.key(8)
+    ref = np.asarray(trace_wavefront(s, o, dd, tm, key, 1))
+    os.environ["RTT_PALLAS_INTERPRET"] = "1"
+    try:
+        got = np.asarray(trace_wavefront(s, o, dd, tm, key, 1))
+    finally:
+        del os.environ["RTT_PALLAS_INTERPRET"]
+    np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-5)
 
 
 @needs_interpret

@@ -1,9 +1,12 @@
 #!/usr/bin/env python3
 """Per-level cost breakdown of the FUSED wave path (the headline bench
-path) on the bundled bvh scene: times each level's megakernel and
-occlusion passes separately, with live-lane occupancy (VERDICT r2 item 1:
-levels 3-10 are <3% live yet pay full-queue dispatches — quantify what
-each costs before/after queue shrinking + occlusion fusion).
+path) on the bundled bvh scene, with live-lane occupancy per level.
+
+Round-3 note: shadow visibility is now fused INTO the level megakernel
+(kernels/wavefront.py), so there is exactly one kernel per level — the
+separate occlusion columns of the r2 profile are gone.  The r2 "before"
+numbers (occ as separate kernels): wave 152.7 ms + occ 188.5 ms = 341 ms
+per 4.2M-ray tile, with occ stuck at ~16 ms/level even at 0.1% live.
 
 Timing methodology: block_until_ready can return early through the axon
 tunnel (BASELINE.md), so every pass is timed as a lax.scan CHAIN of
@@ -64,12 +67,22 @@ def main():
     ap.add_argument(
         "--scene", default=os.path.join(REPO, "golden/ASCII/scene.json")
     )
+    ap.add_argument("--light-samples", type=int, default=1)
     args = ap.parse_args()
 
-    from ray_tracying_tpu.kernels import wavefront as wf
+    from ray_tracying_tpu.kernels.wavefront import (
+        Q_ROWS,
+        WAVE_BLOCK,
+        out_rows,
+        wave_level_call,
+        wave_supported,
+        wave_tables,
+    )
 
-    scene = rt.load_scene(args.scene)
-    assert wf.wave_supported(scene), "scene outside the wave gate"
+    scene = rt.load_scene(
+        args.scene, textures_dir=os.path.join(REPO, "golden/Textures")
+    )
+    assert wave_supported(scene, args.light_samples), "scene outside the wave gate"
     width, height = scene.camera.resolution
     key = jax.random.key(0)
 
@@ -85,92 +98,87 @@ def main():
     tm = jax.random.uniform(jax.random.fold_in(key, 9), (n,))
 
     n_l = scene.n_lights
-    r_pad = -(-n // wf.WAVE_BLOCK) * wf.WAVE_BLOCK
-    rows_out = wf.out_rows(n_l)
-    table, ranges, occ_table, occ_ranges, lights = wf.wave_tables(scene)
+    has_tex = scene.has_textures
+    r_pad = -(-n // WAVE_BLOCK) * WAVE_BLOCK
+    rows_out = out_rows(has_tex)
+    table, ranges, lights = wave_tables(scene)
+    area = tuple(scene.lights.is_area)
+    uv_kinds = (scene.has_spheres, scene.has_cubes, scene.has_rects)
 
     qrows = jnp.concatenate(
         [o.T, d.T, tm[None, :], jnp.ones((2, n), jnp.float32)], axis=0
     )
-    boot = jnp.pad(qrows, ((0, rows_out - wf.Q_ROWS), (0, r_pad - n)))
+    boot = jnp.pad(qrows, ((0, rows_out - Q_ROWS), (0, r_pad - n)))
 
     def fuzz_for(k):
+        parts = []
         if scene.has_glossy:
-            return uniform_in_unit_sphere(k, (r_pad,)).T
-        return jnp.zeros((3, r_pad), jnp.float32)
-
-    seed = jax.lax.bitcast_convert_type(jax.random.key_data(key), jnp.int32)
+            parts.append(uniform_in_unit_sphere(k, (r_pad,)).T)
+        for li in range(n_l):
+            if area[li]:
+                s = uniform_in_unit_sphere(
+                    jax.random.fold_in(k, 2 + li), (r_pad, args.light_samples)
+                )
+                parts.append(
+                    s.transpose(1, 2, 0).reshape(3 * args.light_samples, r_pad)
+                )
+        if not parts:
+            return jnp.zeros((1, r_pad), jnp.float32)
+        return jnp.concatenate(parts, axis=0)
 
     wave = functools.partial(
-        wf.wave_level_call,
+        wave_level_call,
         table=table, lights=lights, ranges=ranges,
-        motion=scene.has_motion, n_lights=n_l, n_geoms=scene.n_geoms,
-        glossy=scene.has_glossy, min_tp=0.0,
+        motion=scene.has_motion, n_lights=n_l, glossy=scene.has_glossy,
+        min_tp=0.0, has_tex=has_tex, uv_kinds=uv_kinds, area=area,
+        nss=args.light_samples,
     )
 
-    step = jax.jit(lambda p, k: wave(p, seed, fuzz_for(k)))
+    step = jax.jit(lambda p, k: wave(p, fuzz_for(k)))
 
     report = {
         "scene": os.path.basename(args.scene),
         "rays": n,
-        "wave_block": wf.WAVE_BLOCK,
+        "wave_block": WAVE_BLOCK,
         "n_lights": n_l,
+        "fused_occlusion": True,
         "backend": jax.devices()[0].platform,
         "levels": [],
     }
     prev = boot
-    tot_wave = tot_occ = 0.0
+    tot_wave = 0.0
     print(
-        f"{n} rays/tile, WAVE_BLOCK={wf.WAVE_BLOCK}, lights={n_l}, "
+        f"{n} rays/tile, WAVE_BLOCK={WAVE_BLOCK}, lights={n_l}, "
         f"backend={jax.devices()[0].platform}"
     )
-    print(f"{'lvl':>3} {'live':>9} {'live%':>6} {'wave_ms':>8} {'occ_ms':>8}")
+    print(f"{'lvl':>3} {'live':>9} {'live%':>6} {'wave_ms':>8}")
     for level in range(11):
         k_level = jax.random.fold_in(key, level)
         fz = fuzz_for(jax.random.fold_in(k_level, 1))
         live = int(np.asarray(jnp.sum(prev[7] > 0)))
 
         t_wave = timed_chain(
-            lambda c: wave(c, seed, fz),
+            lambda c: wave(c, fz),
             lambda c, out: c + 0.0 * out,
             prev,
             args.chain,
         )
-        out = jax.block_until_ready(step(prev, jax.random.fold_in(k_level, 1)))
+        prev = jax.block_until_ready(step(prev, jax.random.fold_in(k_level, 1)))
 
-        t_occ = 0.0
-        for li in range(n_l):
-            t_occ += timed_chain(
-                lambda c, li=li: wf.occluded9_call(
-                    c, occ_table, li, occ_ranges, False
-                ),
-                lambda c, blk: c + 0.0 * blk,
-                out,
-                args.chain,
-            )
         row = {
             "level": level,
             "live": live,
             "live_frac": round(live / n, 5),
             "wave_ms": round(t_wave, 3),
-            "occ_ms": round(t_occ, 3),
         }
         report["levels"].append(row)
         tot_wave += t_wave
-        tot_occ += t_occ
-        print(
-            f"{level:>3} {live:>9} {100*live/n:>6.2f} "
-            f"{t_wave:>8.2f} {t_occ:>8.2f}"
-        )
-        prev = out
+        print(f"{level:>3} {live:>9} {100*live/n:>6.2f} {t_wave:>8.2f}")
 
-    report["total_wave_ms"] = round(tot_wave, 2)
-    report["total_occ_ms"] = round(tot_occ, 2)
-    report["total_ms_per_tile"] = round(tot_wave + tot_occ, 2)
+    report["total_ms_per_tile"] = round(tot_wave, 2)
     print(
-        f"totals: wave {tot_wave:.1f} ms, occ {tot_occ:.1f} ms "
-        f"=> {tot_wave + tot_occ:.1f} ms/tile of {n} rays "
-        f"({n / (tot_wave + tot_occ) / 1e3:.1f}M rays/s kernel-only)"
+        f"totals: wave {tot_wave:.1f} ms/tile of {n} rays "
+        f"({n / tot_wave / 1e3:.1f}M rays/s kernel-only)"
     )
     if args.out:
         with open(args.out, "w") as f:
