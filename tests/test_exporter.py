@@ -10,6 +10,7 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
 from blender_exporter import (  # noqa: E402
+    camera_entry,
     classify_mesh,
     find_texture,
     find_tint,
@@ -280,6 +281,50 @@ def test_classify_and_mesh_entries():
     r = mesh_entry(Obj("Plane", (0, 0, -1), scale=(3.0, 4.0, 1.0),
                        dims=(6.0, 8.0, 0.0)), "rectangles")
     assert r["scale"] == [6.0, 8.0, 1.0]
+
+
+class Dof:
+    def __init__(self):
+        self.aperture_fstop = 2.8  # must NOT be exported (an f-number)
+        self.focus_distance = 7.5
+        self.use_dof = True
+
+
+class CamData:
+    def __init__(self):
+        self.lens = 50.0
+        self.sensor_width = 36.0
+        self.sensor_height = 24.0
+        self.dof = Dof()
+
+
+class CamObj:
+    def __init__(self, props=None):
+        self.type = "CAMERA"
+        self.matrix_world = Matrix((1.0, -2.0, 3.0))
+        self.data = CamData()
+        self._props = props or {}
+
+    def get(self, key, default=None):  # bpy custom-property access
+        return self._props.get(key, default)
+
+
+def test_camera_entry_aperture_custom_property():
+    """`aperture` comes from the object's custom property in lens-diameter
+    units (reference Blend/exporter.py:256; Code/camera.cpp:144-178 uses
+    aperture/2 as the disk radius) — never from dof.aperture_fstop."""
+    gaze, up = (0.0, 1.0, 0.0), (0.0, 0.0, 1.0)
+
+    e = camera_entry(CamObj({"aperture": 0.35}), gaze, up)
+    assert e["aperture"] == 0.35
+    assert e["focus_dist"] == 7.5
+    assert e["focal_length"] == 50.0
+    assert e["location"] == [1.0, -2.0, 3.0]
+
+    # No custom property -> pinhole (0.0), even though use_dof is on and
+    # an f-stop exists: the f-number must never leak into the schema.
+    e = camera_entry(CamObj(), gaze, up)
+    assert e["aperture"] == 0.0
 
 
 def test_material_from_object_no_slots():

@@ -292,6 +292,28 @@ def mesh_entry(obj, kind):
     }
 
 
+def camera_entry(obj, gaze, up):
+    """Camera JSON entry from a camera object plus world-space gaze/up.
+
+    `aperture` is read from an `aperture` CUSTOM PROPERTY on the camera
+    object, in lens-DIAMETER units — the renderer samples the thin-lens
+    origin on a disk of radius aperture/2 (reference Code/camera.cpp:144-178)
+    and the reference exporter reads the same custom property (reference
+    Blend/exporter.py:256).  `cam.dof.aperture_fstop` would be a
+    dimensionless f-number — the wrong quantity entirely."""
+    cam = obj.data
+    return {
+        "location": _vec(obj.matrix_world.translation),
+        "gaze_vector": _vec(gaze),
+        "up_vector": _vec(up),
+        "focal_length": float(cam.lens),
+        "sensor_width": float(cam.sensor_width),
+        "sensor_height": float(cam.sensor_height),
+        "aperture": float(obj.get("aperture", 0.0)),
+        "focus_dist": float(getattr(cam.dof, "focus_distance", 10.0)),
+    }
+
+
 def export_scene(out_path=None):
     assert bpy is not None, "run inside Blender: blender --background --python ..."
     scene = bpy.context.scene
@@ -302,22 +324,11 @@ def export_scene(out_path=None):
         if obj.type == "CAMERA":
             from mathutils import Vector
 
-            cam = obj.data
             quat = obj.matrix_world.to_quaternion()
             # Blender cameras look down -Z with +Y up in local space.
             gaze = quat @ Vector((0.0, 0.0, -1.0))
             up = quat @ Vector((0.0, 1.0, 0.0))
-            data["cameras"].append({
-                "location": _vec(obj.matrix_world.translation),
-                "gaze_vector": _vec(gaze),
-                "up_vector": _vec(up),
-                "focal_length": float(cam.lens),
-                "sensor_width": float(cam.sensor_width),
-                "sensor_height": float(cam.sensor_height),
-                "aperture": float(getattr(cam.dof, "aperture_fstop", 0.0))
-                if getattr(cam.dof, "use_dof", False) else 0.0,
-                "focus_dist": float(getattr(cam.dof, "focus_distance", 10.0)),
-            })
+            data["cameras"].append(camera_entry(obj, gaze, up))
         elif obj.type == "LIGHT":
             li = obj.data
             data["lights"].append({
