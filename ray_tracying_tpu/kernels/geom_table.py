@@ -21,13 +21,14 @@ from ray_tracying_tpu.scene.types import Scene
 
 KIND_PLANE = 3
 GEOM_COLS = 17
-# Material columns appended by pack_geom_table_shaded (cols 17..28):
+# Material columns appended by pack_geom_table_shaded (cols 17..30):
 # diffuse rgb, specular rgb, k_ambient, k_diffuse, k_specular, shininess,
-# roughness, reflectivity — everything the fused shading megakernel needs
-# (transparency/ior excluded: the wavefront megakernel only runs on
-# reflection-only scenes).  Textured scenes append one more column, the
-# texture atlas slot (col 29; -1 = no texture).
-MAT_COLS = 12
+# roughness, reflectivity, transparency, refractive index — everything the
+# fused shading megakernel needs for either continuation (the kernel only
+# sweeps the transparency/ior columns when the scene refracts).  Textured
+# scenes append one more column, the texture atlas slot (col 31; -1 = no
+# texture).
+MAT_COLS = 14
 SHADED_COLS = GEOM_COLS + MAT_COLS
 
 
@@ -165,6 +166,8 @@ def pack_geom_table_shaded(scene: Scene, chunk: int = 1, with_tex: bool = False)
         m.shininess[:, None],
         m.roughness[:, None],
         m.reflectivity[:, None],
+        m.transparency[:, None],
+        m.ior[:, None],
     ]
     if with_tex:
         cols.append(m.tex_id.astype(jnp.float32)[:, None])

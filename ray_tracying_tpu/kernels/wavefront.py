@@ -32,7 +32,9 @@ row-block 0 — zero repacking between levels.  The jnp glue per level is
 fast — Mosaic has no efficient per-lane VMEM gather).
 
 Scope (wave_supported gates; everything else takes the general path):
-no refraction, <= 4 lights, scene table fits SMEM, textured scenes must
+no TWO-WAY materials (a single material that both reflects and refracts
+branches the ray tree; one-way refraction spawns in-kernel since r4),
+<= 4 lights, scene table fits SMEM, textured scenes must
 carry an atlas and have no textured legacy planes (plane UV needs the
 corner table; transformed prims' UVs are reconstructed in-kernel).
 Semantics are the reference's, cited inline; glossy fuzz and area-light
@@ -72,8 +74,8 @@ from ray_tracying_tpu.scene.types import Scene
 _INF = float("inf")
 _TINY = 1e-20
 
-# Rays per block.  Smaller than the intersection kernels' 2048: the fused
-# kernel keeps ~20 live vectors through its loops and spills at 2048.
+# Rays per kernel block (re-swept for the fused kernel in r4; see
+# PROFILE_r4.json for the measured sweep on the bundled scene).
 WAVE_BLOCK = 2048
 
 # The shaded table is (30, G) f32 in SMEM (~120 B/geom); cap well under
@@ -141,8 +143,8 @@ def _any_hit(table_ref, ranges, rb, maxt, init_blocked):
 
 def _wave_kernel(
     q_ref, fuzz_ref, table_ref, light_ref, out_ref,
-    *, ranges, motion, n_lights, glossy, min_tp, has_tex, uv_kinds,
-    area, nss, ablate=(),
+    *, ranges, motion, n_lights, glossy, refraction, min_tp, has_tex,
+    uv_kinds, area, nss, ablate=(),
 ):
     w = out_ref.shape[1]
     rows = out_rows(has_tex)
@@ -191,9 +193,12 @@ def _wave_kernel(
         # reconstruction below.  Chunk-pad rows carry id -2 so they can
         # never match (kernels/geom_table.py).
         best_id_f = best_id.astype(jnp.float32)
-        sweep_cols = list(range(GEOM_COLS, GEOM_COLS + 12))  # material
+        # Material block: 12 columns always, +2 (transparency, ior) only
+        # when the scene refracts — reflection-only scenes skip them.
+        n_mat = 14 if refraction else 12
+        sweep_cols = list(range(GEOM_COLS, GEOM_COLS + n_mat))
         if has_tex:
-            sweep_cols.append(GEOM_COLS + 12)        # texture slot
+            sweep_cols.append(GEOM_COLS + 14)        # texture slot
             sweep_cols.extend(range(12))             # w2o 3x4
             sweep_cols.append(15)                    # kind
             if motion:
@@ -216,6 +221,10 @@ def _wave_kernel(
                 0, n_rows_table, mat_step, (zero,) * len(sweep_cols)
             )
         dr, dg, db, sr, sg, sb, ka, kd, ks, shin, rough, refl = swept[:12]
+        if refraction:
+            trans, ior = swept[12], swept[13]
+        else:
+            trans = zero
 
         # --- hit point & view (V = normalize(origin - point) == -d for
         # unit d, Code/raytracer.cpp:197)
@@ -225,9 +234,11 @@ def _wave_kernel(
         pz = rb.oz + t_fin * rb.dz
         vx, vy, vz = -rb.dx, -rb.dy, -rb.dz
 
-        # local weight max(0, 1 - refl - trans), trans == 0 in this path
-        # (Code/raytracer.cpp:346-350)
-        w_local = jnp.where(hit_f, tp * jnp.maximum(0.0, 1.0 - refl), 0.0)
+        # local weight max(0, 1 - refl - trans) (Code/raytracer.cpp:346-350);
+        # trans is identically 0 when the scene has no refraction.
+        w_local = jnp.where(
+            hit_f, tp * jnp.maximum(0.0, 1.0 - refl - trans), 0.0
+        )
 
         # --- contribution accumulators.  Textured scenes split D (scaled
         # by the texel in the glue) from S (specular + background); the
@@ -338,11 +349,11 @@ def _wave_kernel(
         # (Code/shapes.cpp:257-259 sphere, :396-407 cube entry-face,
         # :318-321 rect).
         if has_tex:
-            w2o = swept[13:25]
-            kindv = swept[25]
-            slotv = swept[12]
+            w2o = swept[n_mat + 1 : n_mat + 13]
+            kindv = swept[n_mat + 13]
+            slotv = swept[n_mat]
             if motion:
-                velx, vely, velz = swept[26], swept[27], swept[28]
+                velx, vely, velz = swept[n_mat + 14 : n_mat + 17]
                 osx = rb.ox - velx * rb.tm
                 osy = rb.oy - vely * rb.tm
                 osz = rb.oz - velz * rb.tm
@@ -439,14 +450,60 @@ def _wave_kernel(
             rdx = jnp.where(isg, gx, rdx)
             rdy = jnp.where(isg, gy, rdy)
             rdz = jnp.where(isg, gz, rdz)
-        tp2 = tp * refl
         rd2 = rdx * rdx + rdy * rdy + rdz * rdz
         ok = hit_f & (refl > 0.0) & (rd2 > C.EPS_GLOSSY_DIR2)
+        tp2 = tp * refl
+        cox, coy, coz = sox, soy, soz
+
+        if refraction:
+            # --- refraction continuation (Code/raytracer.cpp:118-150):
+            # external medium always n=1 (:121), indices swap + normal
+            # flips when exiting (cos_i > 0, :126-129), TIR yields a zero
+            # direction (:136-139), direction renormalized (:149), origin
+            # offset -1e-4 * effective normal (:147).  Lanes whose material
+            # refracts (trans > 0) take this continuation; one-way scenes
+            # (wave_supported rejects has_two_way) make the choice
+            # exclusive per material, preserving the in-slot discipline.
+            exiting = ddn > 0.0
+            eta = jnp.where(exiting, ior, 1.0) / jnp.where(
+                exiting, 1.0, jnp.maximum(ior, _TINY)
+            )
+            nsg = jnp.where(exiting, -1.0, 1.0)
+            nex, ney, nez = nsg * nx, nsg * ny, nsg * nz
+            cos_abs = jnp.abs(ddn)
+            disc = 1.0 - eta * eta * (1.0 - cos_abs * cos_abs)
+            cos_t = jnp.sqrt(jnp.maximum(disc, 0.0))
+            kk = eta * cos_abs - cos_t
+            tx = eta * rb.dx + kk * nex
+            ty = eta * rb.dy + kk * ney
+            tz = eta * rb.dz + kk * nez
+            tn2 = tx * tx + ty * ty + tz * tz
+            inv_t = 1.0 / jnp.sqrt(jnp.where(tn2 > 0.0, tn2, 1.0))
+            live_t = (disc >= 0.0) & (tn2 > C.EPS_REFRACT_DIR2)
+            tx = jnp.where(live_t, tx * inv_t, 0.0)
+            ty = jnp.where(live_t, ty * inv_t, 0.0)
+            tz = jnp.where(live_t, tz * inv_t, 0.0)
+            use_refr = trans > 0.0
+            ok_refr = hit_f & use_refr & live_t
+            # Merge the masks in f32: Mosaic cannot select between two
+            # i1 vectors (trunci to i1 is unsupported).
+            ok_f = jnp.where(use_refr, 1.0, 0.0) * jnp.where(
+                ok_refr, 1.0, 0.0
+            ) + jnp.where(use_refr, 0.0, 1.0) * jnp.where(ok, 1.0, 0.0)
+            ok = ok_f > 0.0
+            tp2 = tp * jnp.where(use_refr, trans, refl)
+            cox = jnp.where(use_refr, px - nex * C.EPS_NORMAL_OFFSET, cox)
+            coy = jnp.where(use_refr, py - ney * C.EPS_NORMAL_OFFSET, coy)
+            coz = jnp.where(use_refr, pz - nez * C.EPS_NORMAL_OFFSET, coz)
+            rdx = jnp.where(use_refr, tx, rdx)
+            rdy = jnp.where(use_refr, ty, rdy)
+            rdz = jnp.where(use_refr, tz, rdz)
+
         if min_tp > 0.0:
             ok = ok & (tp2 > min_tp)
-        out_ref[0, :] = sox
-        out_ref[1, :] = soy
-        out_ref[2, :] = soz
+        out_ref[0, :] = cox
+        out_ref[1, :] = coy
+        out_ref[2, :] = coz
         out_ref[3, :] = rdx
         out_ref[4, :] = rdy
         out_ref[5, :] = rdz
@@ -457,11 +514,11 @@ def _wave_kernel(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13)
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14)
 )
 def wave_level_call(
     out_prev, fuzz, table, lights, ranges, motion, n_lights, glossy,
-    min_tp, has_tex, uv_kinds, area, nss, ablate=(),
+    refraction, min_tp, has_tex, uv_kinds, area, nss, ablate=(),
 ):
     """One bounce level.  out_prev: the previous level's (rows, R_pad)
     output (or the primary bootstrap tensor); the queue is its row-block 0.
@@ -472,8 +529,8 @@ def wave_level_call(
     kernel = functools.partial(
         _wave_kernel,
         ranges=ranges, motion=motion, n_lights=n_lights, glossy=glossy,
-        min_tp=min_tp, has_tex=has_tex, uv_kinds=uv_kinds, area=area,
-        nss=nss, ablate=ablate,
+        refraction=refraction, min_tp=min_tp, has_tex=has_tex,
+        uv_kinds=uv_kinds, area=area, nss=nss, ablate=ablate,
     )
     # Input block = the FULL row dimension (Mosaic requires block rows
     # divisible by 8 or equal to the array's); the kernel reads only the
@@ -516,7 +573,9 @@ def wave_supported(scene: Scene, light_samples: int = 1) -> bool:
     """Static gate for the fused level path (see module docstring)."""
     if not (0 < scene.n_geoms <= WAVE_MAX_GEOMS):
         return False
-    if scene.has_refraction or scene.n_lights > 4:
+    # Two-way materials (reflect AND refract) branch the ray tree — only
+    # they break the in-slot queue; one-way refraction runs in-kernel.
+    if scene.has_two_way or scene.n_lights > 4:
         return False
     if scene.has_textures:
         if scene.tex_atlas is None:

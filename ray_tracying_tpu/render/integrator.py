@@ -156,6 +156,30 @@ def _spawn_refraction(scene, q, hit, mrec, act, capacity, min_tp):
     )
 
 
+def _spawn_one_way(scene, q, hit, mrec, act, k_level, capacity, min_tp):
+    """At-most-one continuation per ray: reflection-only and
+    refraction-only scenes spawn their single kind; MIXED one-way scenes
+    (mirrors and glass on DIFFERENT materials, scene.has_two_way False)
+    pick per lane by the hit material — transparency > 0 takes the
+    refraction branch, else reflectivity > 0 the reflection branch.  Both
+    stay in-slot because no lane ever emits two children."""
+    if scene.has_reflection and not scene.has_refraction:
+        return _spawn_reflection(
+            scene, q, hit, mrec, act, k_level, capacity, min_tp
+        )
+    if scene.has_refraction and not scene.has_reflection:
+        return _spawn_refraction(scene, q, hit, mrec, act, capacity, min_tp)
+    q_refl = _spawn_reflection(
+        scene, q, hit, mrec, act, k_level, capacity, min_tp
+    )
+    q_refr = _spawn_refraction(scene, q, hit, mrec, act, capacity, min_tp)
+    use_refr = mrec.transparency > 0.0
+    pick = lambda a, b: jnp.where(
+        use_refr[:, None] if a.ndim == 2 else use_refr, a, b
+    )
+    return _Queue(*(pick(a, b) for a, b in zip(q_refr, q_refl)))
+
+
 def _wave_tex_modulate(scene: Scene, out):
     """Texture modulation for the fused path's split contribution: the
     megakernel emits the texture-pending diffuse part D (rows C_BASE..)
@@ -224,7 +248,11 @@ def _trace_wave(
         jax.lax.stop_gradient(qrows), ((0, rows - Q_ROWS), (0, r_pad - r))
     )
 
-    levels = (max_depth + 1) if scene.has_reflection else 1
+    levels = (
+        (max_depth + 1)
+        if (scene.has_reflection or scene.has_refraction)
+        else 1
+    )
 
     def level_fuzz(k_level):
         """XLA-sampled unit-ball rows: glossy fuzz first, then 3 rows per
@@ -255,8 +283,8 @@ def _trace_wave(
         fuzz = jax.lax.stop_gradient(level_fuzz(k_level))
         out = wave_level_call(
             prev, fuzz, table, lights, ranges, scene.has_motion, n_l,
-            scene.has_glossy, min_tp, has_tex, uv_kinds, area,
-            light_samples,
+            scene.has_glossy, scene.has_refraction, min_tp, has_tex,
+            uv_kinds, area, light_samples,
         )
         if has_tex:
             contrib = _wave_tex_modulate(scene, out)
@@ -353,7 +381,10 @@ def trace_wavefront(
             )
         return out
 
-    two_way = scene.has_reflection and scene.has_refraction
+    # Branching factor 2 requires a single MATERIAL that both reflects and
+    # refracts (Code/raytracer.cpp:308-344); scenes that merely mix mirror
+    # and glass materials spawn one continuation per ray and stay in-slot.
+    two_way = scene.has_two_way
     spawn = scene.has_reflection or scene.has_refraction
     capacity = r * queue_mult if two_way else r
     # Measured on the bundled scene (1M-4M ray tiles): a sort-based
@@ -450,14 +481,9 @@ def trace_wavefront(
         if not spawn:
             q2 = q_s
             spawned = jnp.zeros(cap, bool)
-        elif scene.has_reflection:
-            q2 = _spawn_reflection(
-                scene, q_s, hit, mrec, act, k_lvl, cap, min_throughput
-            )
-            spawned = q2.active
         else:
-            q2 = _spawn_refraction(
-                scene, q_s, hit, mrec, act, cap, min_throughput
+            q2 = _spawn_one_way(
+                scene, q_s, hit, mrec, act, k_lvl, cap, min_throughput
             )
             spawned = q2.active
         counts = (
@@ -512,14 +538,9 @@ def trace_wavefront(
             q, dropped = _compact(cand, cand.active, capacity)
             spawned = cand.active
         else:
-            if scene.has_reflection:
-                q = _spawn_reflection(
-                    scene, q, hit, mrec, act, k_level, capacity, min_throughput
-                )
-            else:
-                q = _spawn_refraction(
-                    scene, q, hit, mrec, act, capacity, min_throughput
-                )
+            q = _spawn_one_way(
+                scene, q, hit, mrec, act, k_level, capacity, min_throughput
+            )
             spawned = q.active
             q, dropped = _compact(q, q.active, capacity)
         counts = (live_in, n_hit, jnp.sum(spawned.astype(jnp.int32)), dropped)

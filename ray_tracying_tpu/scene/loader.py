@@ -355,6 +355,7 @@ def load_scene_dict(data: dict, textures_dir: Optional[str] = None) -> Scene:
         n_lights=len(_json_lights(data)),
         has_refraction=bool((trans > 0).any()),
         has_reflection=bool((refl > 0).any()),
+        has_two_way=bool(((refl > 0) & (trans > 0)).any()),
         has_glossy=bool(((refl > 0) & (rough > 0)).any()),
         has_motion=bool((np.abs(vel) > 0).any()),
         has_textures=has_textures,

@@ -111,6 +111,12 @@ class Scene:
     n_lights: int = struct.field(pytree_node=False, default=0)
     has_refraction: bool = struct.field(pytree_node=False, default=False)
     has_reflection: bool = struct.field(pytree_node=False, default=False)
+    # True iff SOME single material both reflects AND refracts — the only
+    # case with branching factor 2 (Code/raytracer.cpp:308-344 runs both
+    # branches for one hit).  Scenes that merely contain mirrors AND glass
+    # on different materials spawn at most one continuation per ray and
+    # keep the in-slot queue discipline.
+    has_two_way: bool = struct.field(pytree_node=False, default=False)
     has_glossy: bool = struct.field(pytree_node=False, default=False)
     has_motion: bool = struct.field(pytree_node=False, default=False)
     has_textures: bool = struct.field(pytree_node=False, default=False)

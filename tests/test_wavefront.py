@@ -58,12 +58,22 @@ def test_wave_supported_gate():
 
     s = wave_scene()
     assert wave_supported(s)
-    # refraction disqualifies
+    # one-way refraction qualifies (in-kernel Snell/TIR spawn, r4)
     d = minimal_camera()
     d["lights"] = [{"location": [0, 0, 5], "color": [1, 1, 1], "intensity": 100.0}]
     d["spheres"] = [{"location": [0, 6, 0], "radius": 1.0,
                      "material": {"transparency": 0.5, "refractive_index": 1.5}}]
-    assert not wave_supported(load_scene_dict(d))
+    assert wave_supported(load_scene_dict(d))
+    # a single TWO-WAY material (reflects AND refracts) disqualifies:
+    # branching factor 2 breaks the in-slot queue
+    d2w = minimal_camera()
+    d2w["lights"] = [{"location": [0, 0, 5], "color": [1, 1, 1], "intensity": 100.0}]
+    d2w["spheres"] = [{"location": [0, 6, 0], "radius": 1.0,
+                       "material": {"transparency": 0.5, "reflectivity": 0.3,
+                                    "refractive_index": 1.5}}]
+    s2w = load_scene_dict(d2w)
+    assert s2w.has_two_way
+    assert not wave_supported(s2w)
     # area lights are supported (in-kernel jittered any-hit) — up to the
     # fuzz-row cap of 32 samples x area lights
     d2 = minimal_camera()
@@ -200,6 +210,83 @@ def test_wave_textured_matches_general_path():
     finally:
         del os.environ["RTT_PALLAS_INTERPRET"]
     np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-5)
+
+
+def glass_scene():
+    """One-way refraction + mirrors on DIFFERENT materials: exercises the
+    in-kernel Snell/TIR continuation, the exit-flip, and the per-lane
+    reflection-vs-refraction pick (Code/raytracer.cpp:118-150,308-344)."""
+    d = minimal_camera()
+    d["lights"] = [
+        {"location": [0, 0, 5], "color": [1, 1, 1], "intensity": 300.0},
+        {"location": [4, 2, 3], "color": [1.0, 0.8, 0.6], "intensity": 200.0},
+    ]
+    d["spheres"] = [
+        # glass ball in front of a diffuse backdrop: interior rays exit
+        # through the far surface (normal flip) and some graze into TIR
+        {"location": [0, 5, 0], "radius": 1.2,
+         "material": {"diffuse_color": [0.9, 0.9, 0.9],
+                      "transparency": 0.85, "refractive_index": 1.5}},
+        {"location": [-2.5, 7, 1], "radius": 1.0,
+         "material": {"diffuse_color": [0.2, 0.6, 0.8]}},
+    ]
+    d["cubes"] = [
+        {"translation": [2.5, 6, -0.5], "rotation": [0.2, 0.4, 0.1],
+         "material": {"diffuse_color": [0.9, 0.8, 0.3],
+                      "reflectivity": 0.35}},
+    ]
+    d["rectangles"] = [
+        {"translation": [0, 8, 0], "rotation": [1.5707963, 0, 0],
+         "scale": [14, 14, 1],
+         "material": {"diffuse_color": [0.3, 0.5, 0.3]}},
+    ]
+    return load_scene_dict(d)
+
+
+@needs_interpret
+def test_wave_refraction_matches_general_path():
+    """Glass + mirror (one-way mixed) through the fused kernel vs the
+    general jnp path: deterministic scene, float tolerance."""
+    from ray_tracying_tpu.kernels.wavefront import wave_supported
+
+    s = glass_scene()
+    assert s.has_refraction and s.has_reflection and not s.has_two_way
+    assert wave_supported(s)
+    o, d, tm = cam_rays(n=512, seed=17)
+    key = jax.random.key(12)
+    ref = np.asarray(trace_wavefront(s, o, d, tm, key, 1))
+    os.environ["RTT_PALLAS_INTERPRET"] = "1"
+    try:
+        got = np.asarray(trace_wavefront(s, o, d, tm, key, 1))
+    finally:
+        del os.environ["RTT_PALLAS_INTERPRET"]
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
+
+
+def test_mixed_one_way_inslot_matches_compacted():
+    """A mixed one-way scene (mirror and glass on different materials)
+    takes the in-slot queue since r4; forcing compaction must give the
+    bit-identical image on a deterministic scene (slot permutation only)."""
+    s = glass_scene()
+    o, d, tm = cam_rays(n=256, seed=23)
+    key = jax.random.key(2)
+    a = np.asarray(trace_wavefront(s, o, d, tm, key, 1))
+    b = np.asarray(trace_wavefront(s, o, d, tm, key, 1, compact="always"))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def test_det_scenes_route_through_wave():
+    """The reference demo scenes with refraction (det_basic) and deep
+    mirrors (det_mirrors) qualify for the fused path since r4."""
+    import os as _os
+
+    from ray_tracying_tpu.kernels.wavefront import wave_supported
+    from ray_tracying_tpu.scene.loader import load_scene
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    for name in ("det_basic", "det_mirrors"):
+        s = load_scene(_os.path.join(repo, "golden/ASCII", name + ".json"))
+        assert wave_supported(s), name
 
 
 @needs_interpret

@@ -130,8 +130,8 @@ def main():
         wave_level_call,
         table=table, lights=lights, ranges=ranges,
         motion=scene.has_motion, n_lights=n_l, glossy=scene.has_glossy,
-        min_tp=0.0, has_tex=has_tex, uv_kinds=uv_kinds, area=area,
-        nss=args.light_samples,
+        refraction=scene.has_refraction, min_tp=0.0, has_tex=has_tex,
+        uv_kinds=uv_kinds, area=area, nss=args.light_samples,
     )
 
     step = jax.jit(lambda p, k: wave(p, fuzz_for(k)))
