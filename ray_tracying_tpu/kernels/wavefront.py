@@ -88,14 +88,22 @@ S_BASE = 12  # textured only: specular + background rows
 UV_BASE = 15  # textured only: u, v, slot rows
 
 
-def out_rows(has_tex: bool) -> int:
-    """Level-output row count: queue(9) + contrib(3) [+ spec(3) + uv(3)]
-    + act_hit(1)."""
-    return 19 if has_tex else 13
+def out_rows(has_tex: bool, sphere_uv: bool = False) -> int:
+    """Level-output row count: queue(9) + contrib(3) [+ spec(3) + uv(3)
+    (+ plz(1) + kind(1) when the scene has textured spheres)] + act_hit(1).
+
+    sphere_uv: spherical UV needs atan2/arcsin, which Mosaic cannot lower
+    on TPU — sphere lanes emit the raw object-space hit point (u,v rows
+    carry plx,ply; +2 rows carry plz and the winner kind) and the trig
+    runs in the XLA glue (_wave_tex_modulate).  Cube/rect UVs are pure
+    arithmetic and stay in-kernel."""
+    if not has_tex:
+        return 13
+    return 21 if sphere_uv else 19
 
 
-def hit_row(has_tex: bool) -> int:
-    return out_rows(has_tex) - 1
+def hit_row(has_tex: bool, sphere_uv: bool = False) -> int:
+    return out_rows(has_tex, sphere_uv) - 1
 
 
 class _ShadowRays:
@@ -147,7 +155,7 @@ def _wave_kernel(
     uv_kinds, area, nss, ablate=(),
 ):
     w = out_ref.shape[1]
-    rows = out_rows(has_tex)
+    rows = out_ref.shape[0]
     hr = rows - 1
     n_rows_table = max(end for _, _, end in ranges)
     out_ref[...] = jnp.zeros((rows, w), jnp.float32)
@@ -374,13 +382,15 @@ def _wave_kernel(
             v = zero
             has_s, has_c, has_r = uv_kinds
             if has_s:
-                # Spherical UV (Code/shapes.cpp:257-259).
-                pi = 3.14159265358979
-                u_s = 0.5 + jnp.arctan2(plz, plx) / (2.0 * pi)
-                v_s = 0.5 - jnp.arcsin(jnp.clip(ply, -1.0, 1.0)) / pi
+                # Spherical UV needs atan2/arcsin (Code/shapes.cpp:257-259)
+                # — no Mosaic lowering on TPU, so sphere lanes emit the
+                # raw local hit point and the glue does the trig in XLA:
+                # u,v rows carry plx,ply; extra rows carry plz and kind.
                 sel = kindv == 0.0
-                u = jnp.where(sel, u_s, u)
-                v = jnp.where(sel, v_s, v)
+                u = jnp.where(sel, plx, u)
+                v = jnp.where(sel, ply, v)
+                out_ref[UV_BASE + 3, :] = plz
+                out_ref[UV_BASE + 4, :] = kindv
             if has_c:
                 # Entry face: recompute slab entries once per lane; ties
                 # break first-wins like the reference's sequential update
@@ -525,7 +535,7 @@ def wave_level_call(
     fuzz: (F, R_pad) XLA-sampled unit-ball rows — glossy fuzz first (when
     glossy), then 3*nss rows per area light in light order."""
     r_pad = out_prev.shape[1]
-    rows = out_rows(has_tex)
+    rows = out_rows(has_tex, has_tex and uv_kinds[0])
     kernel = functools.partial(
         _wave_kernel,
         ranges=ranges, motion=motion, n_lights=n_lights, glossy=glossy,

@@ -43,7 +43,13 @@ import jax.numpy as jnp
 
 from ray_tracying_tpu.core import constants as C
 from ray_tracying_tpu.core.sampling import uniform_in_unit_sphere
-from ray_tracying_tpu.core.vecmath import dot, normalize, reflect, refract
+from ray_tracying_tpu.core.vecmath import (
+    dot,
+    normalize,
+    reflect,
+    refract,
+    safe_arcsin,
+)
 from ray_tracying_tpu.render.intersect import closest_hit
 from ray_tracying_tpu.render.materials import gather_materials
 from ray_tracying_tpu.render.shade import shade
@@ -186,11 +192,25 @@ def _wave_tex_modulate(scene: Scene, out):
     plus the winner's (u, v, atlas slot); the nearest-neighbor atlas fetch
     (Code/material.hpp:99-134: v flipped, C-style truncation, texel
     multiplies the base diffuse tint already inside D) runs here in XLA —
-    gathers are fast in XLA and have no efficient Mosaic lowering."""
+    gathers are fast in XLA and have no efficient Mosaic lowering.
+
+    Scenes with textured spheres also run the spherical UV trig here
+    (Code/shapes.cpp:257-259): atan2/arcsin have no Mosaic lowering, so
+    sphere lanes arrive as the raw object-space hit point (u,v rows carry
+    plx,ply; rows UV_BASE+3/4 carry plz and the winner kind)."""
     from ray_tracying_tpu.kernels.wavefront import C_BASE, S_BASE, UV_BASE
 
     u = out[UV_BASE + 0]
     v = out[UV_BASE + 1]
+    if scene.has_spheres:
+        plx, ply, plz = u, v, out[UV_BASE + 3]
+        kindv = out[UV_BASE + 4]
+        pi = jnp.float32(3.14159265358979)
+        u_s = 0.5 + jnp.arctan2(plz, plx) / (2.0 * pi)
+        v_s = 0.5 - safe_arcsin(jnp.clip(ply, -1.0, 1.0)) / pi
+        sel = kindv == 0.0
+        u = jnp.where(sel, u_s, u)
+        v = jnp.where(sel, v_s, v)
     tid = jnp.round(out[UV_BASE + 2]).astype(jnp.int32)
     tid_safe = jnp.maximum(tid, 0)
     wh = scene.tex_wh[tid_safe]  # (R, 2) = (w, h)
@@ -205,18 +225,43 @@ def _wave_tex_modulate(scene: Scene, out):
     return out[C_BASE : C_BASE + 3] * tex + out[S_BASE : S_BASE + 3]
 
 
+# Default fused-path queue-shrink schedule: (level, factor) pairs applied
+# cumulatively — levels 0-1 run full width, levels 2-3 at 1/8, 4+ at 1/16.
+# Swept on the flagship scene on TPU v5e (r4): ((2,8),(4,2)) gave 19.85M
+# primary rays/s vs 16.09M for ((2,4),(4,4)) and 12.56M unshrunk; deeper
+# third stages measured flat.  Safety: worst measured live fractions on
+# the committed demo scenes are 6.35% entering level 2 (vs 12.5% cap) and
+# 1.26% entering level 4 (vs 6.25% cap); overflow drops lowest-throughput
+# lanes first and is surfaced through TraceStats.dropped — a test pins
+# dropped == 0 and the headroom for all demo scenes.
+WAVE_SHRINK_AUTO = ((2, 8), (4, 2))
+
+
 def _trace_wave(
     scene: Scene, o, d, times, key, light_samples, min_tp, return_stats,
-    max_depth,
+    max_depth, shrink=WAVE_SHRINK_AUTO,
 ):
     """Fused-level fast path: the whole per-level body (closest hit,
     material recovery, Blinn-Phong, shadow VISIBILITY — in-kernel any-hit,
     1 hard-shadow sample per point light exactly like the reference
     (Code/raytracer.cpp:207), light_samples jittered rays per area light —
-    texture UV recovery, reflection spawn) runs as ONE Pallas megakernel
-    per level, chained through a shared row-major tensor — see
+    texture UV recovery, reflection/refraction spawn) runs as ONE Pallas
+    megakernel per level, chained through a shared row-major tensor — see
     kernels/wavefront.py.  The per-level glue is one accumulate (plus one
-    atlas gather for textured scenes)."""
+    atlas gather for textured scenes).
+
+    shrink: tuple of (level, factor) queue-compaction points.  Bounce
+    levels go mostly dead fast (the bundled scene is 6.3% live entering
+    level 2, 1.3% entering level 4) yet every level otherwise pays
+    full-width kernel dispatch + DMA (~14-19 ms/level at 4M rays even at
+    0.1% live — PROFILE_r4.json).  At each shrink point the queue is
+    sort-compacted ONCE (2-operand sort of (priority key, slot index) +
+    a 9-row gather — scatters serialize on TPU, sorts don't) into a
+    width divided by `factor`; deeper levels run at the smaller width and
+    their contributions are folded back per original slot at the end
+    (sort-by-dest + segment_sum).  Live lanes beyond the shrunk capacity
+    are dropped lowest-throughput-first (bounded image error tp * L_max,
+    same argument as min_throughput) and counted in TraceStats.dropped."""
     from ray_tracying_tpu.kernels.wavefront import (
         C_BASE,
         Q_ROWS,
@@ -231,8 +276,9 @@ def _trace_wave(
     r_pad = -(-r // WAVE_BLOCK) * WAVE_BLOCK
     n_l = scene.n_lights
     has_tex = scene.has_textures
-    rows = out_rows(has_tex)
-    hr = hit_row(has_tex)
+    sphere_uv = has_tex and scene.has_spheres
+    rows = out_rows(has_tex, sphere_uv)
+    hr = hit_row(has_tex, sphere_uv)
     table, ranges, lights = wave_tables(scene)
     area = tuple(scene.lights.is_area)
     uv_kinds = (scene.has_spheres, scene.has_cubes, scene.has_rects)
@@ -254,7 +300,7 @@ def _trace_wave(
         else 1
     )
 
-    def level_fuzz(k_level):
+    def level_fuzz(k_level, width):
         """XLA-sampled unit-ball rows: glossy fuzz first, then 3 rows per
         area-light shadow sample.  Same sampler family as the general
         path (_spawn_reflection / shade), different stream — covered by
@@ -263,52 +309,122 @@ def _trace_wave(
         if scene.has_glossy:
             parts.append(
                 uniform_in_unit_sphere(
-                    jax.random.fold_in(k_level, 1), (r_pad,)
+                    jax.random.fold_in(k_level, 1), (width,)
                 ).T
             )
         for li in range(n_l):
             if not area[li]:
                 continue
             s = uniform_in_unit_sphere(
-                jax.random.fold_in(k_level, 2 + li), (r_pad, light_samples)
-            )  # (r_pad, S, 3)
-            parts.append(s.transpose(1, 2, 0).reshape(3 * light_samples, r_pad))
+                jax.random.fold_in(k_level, 2 + li), (width, light_samples)
+            )  # (width, S, 3)
+            parts.append(s.transpose(1, 2, 0).reshape(3 * light_samples, width))
         if not parts:
-            return jnp.zeros((1, r_pad), jnp.float32)
+            return jnp.zeros((1, width), jnp.float32)
         return jnp.concatenate(parts, axis=0)
 
-    def body(carry, depth):
-        accum, prev = carry
-        k_level = jax.random.fold_in(key, depth)
-        fuzz = jax.lax.stop_gradient(level_fuzz(k_level))
-        out = wave_level_call(
-            prev, fuzz, table, lights, ranges, scene.has_motion, n_l,
-            scene.has_glossy, scene.has_refraction, min_tp, has_tex,
-            uv_kinds, area, light_samples,
-        )
-        if has_tex:
-            contrib = _wave_tex_modulate(scene, out)
-        else:
-            contrib = out[C_BASE : C_BASE + 3]
-        accum = accum + contrib
-        if return_stats:
-            row = (
-                jnp.sum((prev[7] > 0).astype(jnp.int32)),
-                jnp.sum((out[hr] > 0).astype(jnp.int32)),
-                jnp.sum((out[7] > 0).astype(jnp.int32)),
-                jnp.int32(0),
+    def make_body(width):
+        def body(carry, depth):
+            accum, prev = carry
+            k_level = jax.random.fold_in(key, depth)
+            fuzz = jax.lax.stop_gradient(level_fuzz(k_level, width))
+            out = wave_level_call(
+                prev, fuzz, table, lights, ranges, scene.has_motion, n_l,
+                scene.has_glossy, scene.has_refraction, min_tp, has_tex,
+                uv_kinds, area, light_samples,
             )
-        else:
-            row = None
-        return (accum, out), row
+            if has_tex:
+                contrib = _wave_tex_modulate(scene, out)
+            else:
+                contrib = out[C_BASE : C_BASE + 3]
+            accum = accum + contrib
+            if return_stats:
+                row = (
+                    jnp.sum((prev[7] > 0).astype(jnp.int32)),
+                    jnp.sum((out[hr] > 0).astype(jnp.int32)),
+                    jnp.sum((out[7] > 0).astype(jnp.int32)),
+                    jnp.int32(0),
+                )
+            else:
+                row = None
+            return (accum, out), row
 
-    accum0 = jnp.zeros((3, r_pad), jnp.float32)
-    (accum, _), stat_rows = jax.lax.scan(
-        body, (accum0, boot), jnp.arange(levels, dtype=jnp.int32)
+        return body
+
+    # --- stage plan: widths per shrink point; entries that cannot reduce
+    # the (WAVE_BLOCK-quantized) width are dropped.
+    sched = sorted(
+        (lv, f) for lv, f in (shrink or ()) if 0 < lv < levels and f > 1
     )
+    bounds = [0]
+    widths = [r_pad]
+    for lv, f in sched:
+        w_new = max(WAVE_BLOCK, -(-(widths[-1] // f) // WAVE_BLOCK) * WAVE_BLOCK)
+        if w_new < widths[-1] and lv > bounds[-1]:
+            bounds.append(lv)
+            widths.append(w_new)
+    bounds.append(levels)
+
+    prev = boot
+    dest = None
+    accum = jnp.zeros((3, r_pad), jnp.float32)
+    stage_accums = []   # [(accum_c, dest)] for stages > 0
+    stat_stages = []
+    drop_updates = []   # [(level_idx, count)]
+    for si in range(len(bounds) - 1):
+        lo, hi = bounds[si], bounds[si + 1]
+        w = widths[si]
+        if si > 0:
+            w_prev = prev.shape[1]
+            act = prev[7] > 0.0
+            # Priority: live lanes by descending throughput, dead last —
+            # overflow (live beyond w) drops the dimmest paths first.
+            prio = jnp.where(act, -prev[8], jnp.inf)
+            idx = jnp.arange(w_prev, dtype=jnp.int32)
+            _, idx_s = jax.lax.sort((prio, idx), num_keys=1, is_stable=True)
+            top = jax.lax.stop_gradient(idx_s[:w])
+            q = jnp.take(prev[:Q_ROWS], top, axis=1)
+            prev = jnp.pad(q, ((0, rows - Q_ROWS), (0, 0)))
+            dest = top if dest is None else jnp.take(dest, top)
+            n_live = jnp.sum(act.astype(jnp.int32))
+            drop_updates.append((lo, jnp.maximum(n_live - w, 0)))
+            accum_s = jnp.zeros((3, w), jnp.float32)
+        else:
+            accum_s = accum
+        (accum_s, prev), rows_st = jax.lax.scan(
+            make_body(w), (accum_s, prev),
+            jnp.arange(lo, hi, dtype=jnp.int32),
+        )
+        if return_stats:
+            stat_stages.append(rows_st)
+        if si == 0:
+            accum = accum_s
+        else:
+            stage_accums.append((accum_s, dest))
+
+    # Fold shrunk-stage contributions back to their original slots: one
+    # small sort-by-dest + segment_sum per stage (scatter-free).
+    for accum_c, dest_c in stage_accums:
+        sd, c0, c1, c2 = jax.lax.sort(
+            (dest_c, accum_c[0], accum_c[1], accum_c[2]),
+            num_keys=1,
+            is_stable=False,
+        )
+        seg = jax.ops.segment_sum(
+            jnp.stack([c0, c1, c2], axis=1), sd, num_segments=r_pad,
+            indices_are_sorted=True,
+        )
+        accum = accum + seg.T
+
     radiance = accum[:, :r].T
     if return_stats:
-        return radiance, TraceStats(*stat_rows)
+        parts = list(zip(*stat_stages))  # 4 tuples of per-stage arrays
+        live, hits, spawned, dropped = (
+            jnp.concatenate(p) for p in parts
+        )
+        for lv, cnt in drop_updates:
+            dropped = dropped.at[lv].add(cnt)
+        return radiance, TraceStats(live, hits, spawned, dropped)
     return radiance
 
 
@@ -327,6 +443,7 @@ def trace_wavefront(
     return_stats: bool = False,
     max_depth: int | None = None,
     segments: int = 0,
+    shrink="auto",
 ) -> jnp.ndarray:
     """Trace R primary rays to completion.  Returns (R, 3) radiance, or
     (radiance, TraceStats) when return_stats — per-level live/hit/spawn/drop
@@ -365,7 +482,14 @@ def trace_wavefront(
     outweigh the skipped glue — so 0 (auto) currently means OFF; the knob
     stays for experimentation on other topologies.  Deterministic scenes
     are bit-identical either way; stochastic effects consume
-    segment-indexed RNG streams and differ within their sampling noise."""
+    segment-indexed RNG streams and differ within their sampling noise.
+
+    shrink: fused-path queue-compaction schedule — "auto" (default) uses
+    WAVE_SHRINK_AUTO, () disables, or pass explicit ((level, factor), ...)
+    pairs; see _trace_wave.  Compaction only re-slots rays, so
+    deterministic scenes are identical unless live lanes overflow the
+    shrunk capacity (surfaced via TraceStats.dropped; never happens on
+    the committed demo scenes — pinned by a test)."""
     r = origins.shape[0]
     if max_depth is None:
         max_depth = C.MAX_RECURSION_DEPTH
@@ -410,9 +534,10 @@ def trace_wavefront(
             from ray_tracying_tpu.kernels.wavefront import wave_supported
 
             if wave_supported(scene, light_samples):
+                sched = WAVE_SHRINK_AUTO if shrink == "auto" else (shrink or ())
                 return _trace_wave(
                     scene, origins, directions, times, key, light_samples,
-                    min_throughput, return_stats, max_depth,
+                    min_throughput, return_stats, max_depth, sched,
                 )
 
     accum = jnp.zeros((r, 3), jnp.float32)

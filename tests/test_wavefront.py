@@ -290,6 +290,90 @@ def test_det_scenes_route_through_wave():
 
 
 @needs_interpret
+def test_wave_shrink_matches_unshrunk():
+    """Queue shrinking (sort-compact once, deep levels at reduced width)
+    must not change a deterministic image when nothing overflows: the
+    compaction only re-slots rays and contributions fold back per
+    original slot."""
+    s = wave_scene(roughness=0.0)
+    o, d, tm = cam_rays(n=8192, seed=31)
+    key = jax.random.key(4)
+    os.environ["RTT_PALLAS_INTERPRET"] = "1"
+    try:
+        base, st0 = trace_wavefront(
+            s, o, d, tm, key, 1, shrink=(), return_stats=True
+        )
+        got, st = trace_wavefront(
+            s, o, d, tm, key, 1, shrink=((1, 2), (3, 2)), return_stats=True
+        )
+    finally:
+        del os.environ["RTT_PALLAS_INTERPRET"]
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(base), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_array_equal(np.asarray(st.live), np.asarray(st0.live))
+    assert int(jnp.sum(st.dropped)) == 0
+
+
+@needs_interpret
+def test_wave_shrink_overflow_counted():
+    """Live lanes beyond the shrunk capacity are dropped
+    lowest-throughput-first and COUNTED — the loss can't be silent."""
+    s = wave_scene(roughness=0.0)
+    o, d, tm = cam_rays(n=8192, seed=31)
+    key = jax.random.key(4)
+    os.environ["RTT_PALLAS_INTERPRET"] = "1"
+    try:
+        _, st = trace_wavefront(
+            s, o, d, tm, key, 1, shrink=((1, 4),), return_stats=True
+        )
+    finally:
+        del os.environ["RTT_PALLAS_INTERPRET"]
+    live1 = int(np.asarray(st.live)[1])
+    # this scene keeps ~46% alive at level 1 — far beyond the 1/4 cap
+    assert live1 == 2048  # WAVE_BLOCK floor
+    assert int(np.asarray(st.dropped)[1]) > 0
+
+
+def test_demo_scenes_no_shrink_drops():
+    """The auto shrink schedule must never drop a ray on any committed
+    demo scene (parity contract).  Checked on the general path's stats
+    oracle: live fractions entering each shrink level stay under its
+    capacity with >= 1.9x headroom (the flagship enters level 2 at 6.35%
+    vs the 12.5% cap)."""
+    import os as _os
+
+    from ray_tracying_tpu.render.integrator import WAVE_SHRINK_AUTO
+    from ray_tracying_tpu.render.camera import pixel_rays
+    from ray_tracying_tpu.scene.loader import load_scene
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    caps = {}
+    cap = 1.0
+    for lv, f in WAVE_SHRINK_AUTO:
+        cap /= f
+        caps[lv] = cap
+    for name in ("det_basic", "det_mirrors", "bvh_det", "bvh_glossy",
+                 "glossy"):
+        s = load_scene(
+            _os.path.join(repo, "golden/ASCII", name + ".json"),
+            textures_dir=_os.path.join(repo, "golden/Textures"),
+        )
+        w, h = s.camera.resolution
+        xs = (np.arange(w, dtype=np.float32) + 0.5)
+        ys = (np.arange(h, dtype=np.float32) + 0.5)
+        px, py = np.meshgrid(xs, ys)
+        key = jax.random.key(0)
+        o, d = pixel_rays(s.camera, px.ravel(), py.ravel(), key)
+        tm = jnp.zeros(o.shape[0])
+        _, st = trace_wavefront(s, o, d, tm, key, 1, return_stats=True)
+        live = np.asarray(st.live).astype(np.float64) / o.shape[0]
+        for lv, c in caps.items():
+            if lv < live.shape[0]:
+                assert live[lv] <= c / 1.9, (name, lv, live[lv], c)
+
+
+@needs_interpret
 def test_wave_no_reflection_single_level():
     d = minimal_camera()
     d["lights"] = [{"location": [0, 0, 5], "color": [1, 1, 1], "intensity": 150.0}]

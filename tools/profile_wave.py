@@ -100,7 +100,7 @@ def main():
     n_l = scene.n_lights
     has_tex = scene.has_textures
     r_pad = -(-n // WAVE_BLOCK) * WAVE_BLOCK
-    rows_out = out_rows(has_tex)
+    rows_out = out_rows(has_tex, has_tex and scene.has_spheres)
     table, ranges, lights = wave_tables(scene)
     area = tuple(scene.lights.is_area)
     uv_kinds = (scene.has_spheres, scene.has_cubes, scene.has_rects)
