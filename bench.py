@@ -1,11 +1,15 @@
 #!/usr/bin/env python3
 """Headline benchmark: primary rays/s on the reference's bundled bvh
 stress scene (1920x1080, 4x4 spp, 141 shapes, full 11-level Whitted +
-shadow rays), on one TPU chip.
+shadow rays, tex2 texture bound on all 140 cubes), on one TPU chip.
 
 Baseline: the reference C++ renderer compiled -O2 on this host, same
-scene and config (`-bvh`, default 4x4 spp), single thread: 53.75 s
-=> 617,378 primary rays/s (see BASELINE.md for the measurement log).
+scene and config (`-bvh`, default 4x4 spp, same golden/Textures/tex2.ppm
+bound), single thread: 58.191 s => 570,149 primary rays/s (see BASELINE.md
+for the measurement log).  Both renderers read the texture since r4 —
+earlier rounds measured the UNtextured fail-soft variant on both sides
+(617,378 rays/s reference); numbers across rounds compare like-for-like
+only within the same texture regime.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -20,9 +24,9 @@ import jax
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-# Reference C++ measured on this host (BASELINE.md): 1920*1080*16 rays in
-# 53.754 s.
-REF_PRIMARY_RAYS_PER_S = 1920 * 1080 * 16 / 53.754
+# Reference C++ measured on this host, textured (BASELINE.md,
+# golden/build/run/bvh_s4_textured.time): 1920*1080*16 rays in 58.191 s.
+REF_PRIMARY_RAYS_PER_S = 1920 * 1080 * 16 / 58.191
 
 
 def main():

@@ -56,8 +56,11 @@ def main():
                     help="random pixel order (worst case for the "
                     "block-coherent traversal) instead of scanline order")
     ap.add_argument("--sizes", type=int, nargs="*",
-                    default=[128, 512, 2048, 8192])
+                    default=[128, 512, 2048, 8192, 24576, 49152, 98304])
     args = ap.parse_args()
+
+    from ray_tracying_tpu.accel.lbvh import with_chunks
+    from ray_tracying_tpu.kernels.closest_hit import BRUTE_SMEM_MAX_GEOMS
 
     n_rays = 1 << 20
     key = jax.random.key(0)
@@ -65,9 +68,15 @@ def main():
         f"{'geoms':>8} {'brute ms':>10} {'lbvh ms':>10} {'lbvh+sort':>10} "
         f"{'winner':>10}"
     )
+    print(
+        f"(sizes > {BRUTE_SMEM_MAX_GEOMS} exceed the SMEM-resident table "
+        "and run the chunk-culled streaming kernels — columns become "
+        "chunk / chunk+sort)"
+    )
     for n in args.sizes:
         scene = models.sphere_field(n=n, res=(320, 180))
-        scene_b = with_bvh(scene)
+        big = n + 1 > BRUTE_SMEM_MAX_GEOMS
+        scene_b = with_chunks(scene) if big else with_bvh(scene)
         w, h = scene.camera.resolution
         if args.incoherent:
             k1, k2 = jax.random.split(jax.random.fold_in(key, n))
@@ -82,6 +91,18 @@ def main():
             ys = (idx // w % h).astype(jnp.float32) + 0.5
         o, d = pixel_rays(scene.camera, xs, ys, key)
         tm = jnp.zeros(n_rays)
+        if big:
+            # Beyond-SMEM: the chunk-streaming kernel IS the path (both
+            # with and without the coherence ray sort); the dense brute
+            # kernel can't hold the table and the SMEM LBVH is gated off.
+            ms_chunk = per_pass_ms(scene_b, o, d, tm, False)
+            ms_sort = per_pass_ms(scene_b, o, d, tm, False, sort_rays=True)
+            winner = "chunk" if ms_chunk <= ms_sort else "chunk+sort"
+            print(
+                f"{n + 1:>8} {'-':>10} {ms_chunk:>10.2f} {ms_sort:>10.2f} "
+                f"{winner:>10}  (chunk-stream)"
+            )
+            continue
         ms_brute = per_pass_ms(scene, o, d, tm, False)
         ms_bvh = per_pass_ms(scene_b, o, d, tm, True)
         ms_sort = per_pass_ms(scene_b, o, d, tm, True, sort_rays=True)
