@@ -722,6 +722,13 @@ def trace_wavefront(
 
     # max_depth+1 levels (depth 0..10 by default); children spawned by the
     # last iteration are never consumed, reproducing "depth > 10 -> black".
+    if differentiable:
+        # Remat each level under AD: without this, every level's dense
+        # (rays x geoms) hit matrix is saved as a scan residual —
+        # 11 x R x G f32 (23 GB for the flagship at 1 spp) blows HBM.
+        # Recomputing the level forward in the backward pass costs ~2x
+        # FLOPs and caps residual memory at one level's carry.
+        level_body = jax.checkpoint(level_body)
     (accum, _), rows = jax.lax.scan(
         level_body,
         (accum, q),
