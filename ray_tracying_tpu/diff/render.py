@@ -28,7 +28,7 @@ def render_linear(
     """Render the full image in one traced call -> (H, W, 3) linear f32."""
     opts = opts or RenderOptions()
     width, height = scene.camera.resolution
-    return _render_tile(
+    tile, _ = _render_tile(
         scene,
         jnp.float32(0.0),
         key,
@@ -41,6 +41,7 @@ def render_linear(
         opts.min_throughput,
         differentiable=True,
     )
+    return tile
 
 
 def mse_loss(

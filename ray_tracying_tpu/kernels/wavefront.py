@@ -88,22 +88,67 @@ S_BASE = 12  # textured only: specular + background rows
 UV_BASE = 15  # textured only: u, v, slot rows
 
 
-def out_rows(has_tex: bool, sphere_uv: bool = False) -> int:
+def out_rows(tex_glue: bool, sphere_uv: bool = False) -> int:
     """Level-output row count: queue(9) + contrib(3) [+ spec(3) + uv(3)
     (+ plz(1) + kind(1) when the scene has textured spheres)] + act_hit(1).
+
+    tex_glue: True only for textured scenes that sample their texture in
+    the XLA glue (_wave_tex_modulate) — scenes the in-kernel one-hot
+    matmul path can't take (see tex_kernel_supported).  Kernel-textured
+    scenes use the compact 13-row untextured layout: the texel already
+    multiplied into the contribution rows.
 
     sphere_uv: spherical UV needs atan2/arcsin, which Mosaic cannot lower
     on TPU — sphere lanes emit the raw object-space hit point (u,v rows
     carry plx,ply; +2 rows carry plz and the winner kind) and the trig
     runs in the XLA glue (_wave_tex_modulate).  Cube/rect UVs are pure
     arithmetic and stay in-kernel."""
-    if not has_tex:
+    if not tex_glue:
         return 13
     return 21 if sphere_uv else 19
 
 
-def hit_row(has_tex: bool, sphere_uv: bool = False) -> int:
-    return out_rows(has_tex, sphere_uv) - 1
+def hit_row(tex_glue: bool, sphere_uv: bool = False) -> int:
+    return out_rows(tex_glue, sphere_uv) - 1
+
+
+# In-kernel texture caps: the texel fetch is a one-hot matmul against the
+# (3*W, T*H) texture matrix resident in VMEM (~2 us/block on the MXU for
+# 128x128 — vs 26.5 ms per 4.2M-lane level for the XLA gather it
+# replaces); FLOPs scale with T*H * W, so big atlases take the glue path.
+TEX_MAX_ROWS = 256   # T * H
+TEX_MAX_W = 128
+
+
+def tex_kernel_supported(scene: Scene) -> bool:
+    """True when the fused path can sample textures inside the megakernel
+    (nearest-neighbor fetch as a one-hot MXU matmul).  Textured spheres
+    are excluded — their spherical UV needs atan2/arcsin, which Mosaic
+    cannot lower, so they keep the split-D/S + XLA-glue path."""
+    if not (scene.has_textures and scene.tex_atlas is not None):
+        return False
+    if scene.has_spheres:
+        return False
+    t, h, w, _ = scene.tex_atlas.shape
+    return t * h <= TEX_MAX_ROWS and w <= TEX_MAX_W
+
+
+def pack_tex_matrix(scene: Scene):
+    """((3*W, T*H) bf16 texture matrix, (2, T) f32 true-size table).
+
+    The matrix holds EXACT u8 texel values 0..255 (integers <= 256 are
+    exact in bf16): matrix[c*W + x, t*H + y] = round(255 * atlas[t,y,x,c]).
+    The kernel's one-hot row matmul therefore reproduces the reference's
+    nearest-neighbor fetch (Code/material.hpp:122-133) bit-for-bit after
+    the f32 division by 255."""
+    t, h, w, _ = scene.tex_atlas.shape
+    m = jnp.round(scene.tex_atlas * 255.0)          # (T, H, W, 3)
+    m = m.transpose(3, 2, 0, 1).reshape(3 * w, t * h)
+    twh = scene.tex_wh.T.astype(jnp.float32)        # (2, T) = (w, h)
+    return (
+        lax.stop_gradient(m.astype(jnp.bfloat16)),
+        lax.stop_gradient(twh),
+    )
 
 
 class _ShadowRays:
@@ -150,9 +195,9 @@ def _any_hit(table_ref, ranges, rb, maxt, init_blocked):
 
 
 def _wave_kernel(
-    q_ref, fuzz_ref, table_ref, light_ref, out_ref,
+    q_ref, fuzz_ref, table_ref, light_ref, tex_ref, twh_ref, out_ref,
     *, ranges, motion, n_lights, glossy, refraction, min_tp, has_tex,
-    uv_kinds, area, nss, ablate=(),
+    uv_kinds, area, nss, ktex, ablate=(),
 ):
     w = out_ref.shape[1]
     rows = out_ref.shape[0]
@@ -339,18 +384,6 @@ def _wave_kernel(
             s_g = s_g + qg * vis
             s_b = s_b + qb * vis
 
-        if has_tex:
-            out_ref[C_BASE + 0, :] = d_r
-            out_ref[C_BASE + 1, :] = d_g
-            out_ref[C_BASE + 2, :] = d_b
-            out_ref[S_BASE + 0, :] = s_r
-            out_ref[S_BASE + 1, :] = s_g
-            out_ref[S_BASE + 2, :] = s_b
-        else:
-            out_ref[C_BASE + 0, :] = d_r + s_r
-            out_ref[C_BASE + 1, :] = d_g + s_g
-            out_ref[C_BASE + 2, :] = d_b + s_b
-
         # --- texture UV reconstruction for the winner (textured scenes):
         # rebuild the object-space hit point from the swept w2o (one pass
         # per LANE, not per geom) and apply the per-kind UV mapping
@@ -386,6 +419,7 @@ def _wave_kernel(
                 # — no Mosaic lowering on TPU, so sphere lanes emit the
                 # raw local hit point and the glue does the trig in XLA:
                 # u,v rows carry plx,ply; extra rows carry plz and kind.
+                # (tex_kernel_supported excludes spheres, so never ktex.)
                 sel = kindv == 0.0
                 u = jnp.where(sel, plx, u)
                 v = jnp.where(sel, ply, v)
@@ -431,9 +465,71 @@ def _wave_kernel(
                 sel = kindv == 2.0
                 u = jnp.where(sel, plx + 0.5, u)
                 v = jnp.where(sel, ply + 0.5, v)
-            out_ref[UV_BASE + 0, :] = u
-            out_ref[UV_BASE + 1, :] = v
-            out_ref[UV_BASE + 2, :] = jnp.where(hit_f, slotv, -1.0)
+            if not ktex:
+                out_ref[UV_BASE + 0, :] = u
+                out_ref[UV_BASE + 1, :] = v
+                out_ref[UV_BASE + 2, :] = jnp.where(hit_f, slotv, -1.0)
+
+        # --- contribution rows.  ktex: texel fetched IN-KERNEL — the
+        # nearest-neighbor lookup (Code/material.hpp:122-133: v flipped,
+        # C-style truncation, tint already inside D) becomes a one-hot
+        # row matmul on the MXU against the VMEM-resident (3W, T*H) u8
+        # texture matrix plus a masked column reduction on the VPU.  An
+        # XLA-side gather at bench width measured 26.5 ms PER LEVEL; the
+        # matmul is ~2 us/block and exact (u8 integers are exact in bf16,
+        # one-hot is exact, MXU accumulates f32).
+        if ktex:
+            n_tex = twh_ref.shape[1]
+            twid = zero
+            thgt = zero
+            for t in range(n_tex):
+                sel_t = slotv == float(t)
+                twid = jnp.where(sel_t, twh_ref[0, t], twid)
+                thgt = jnp.where(sel_t, twh_ref[1, t], thgt)
+            xx = jnp.clip(
+                jnp.floor(u * (twid - 1.0)), 0.0,
+                jnp.maximum(twid - 1.0, 0.0),
+            )
+            yy = jnp.clip(
+                jnp.floor((1.0 - v) * (thgt - 1.0)), 0.0,
+                jnp.maximum(thgt - 1.0, 0.0),
+            )
+            th_tot = tex_ref.shape[1]
+            th_pad = th_tot // n_tex        # padded atlas height
+            gy = (slotv * th_pad + yy).astype(jnp.int32)
+            rows_i = lax.broadcasted_iota(jnp.int32, (th_tot, w), 0)
+            oh = (rows_i == gy[None, :]).astype(jnp.bfloat16)
+            rowv = lax.dot_general(
+                tex_ref[...], oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (3W_tex, block)
+            tw_pad = tex_ref.shape[0] // 3
+            cols_i = lax.broadcasted_iota(jnp.int32, (tw_pad, w), 0)
+            xsel = (cols_i == xx.astype(jnp.int32)[None, :]).astype(
+                jnp.float32
+            )
+            inv255 = 1.0 / 255.0
+            has_t = hit_f & (slotv >= 0.0)
+            tr = jnp.sum(rowv[0:tw_pad] * xsel, axis=0) * inv255
+            tg = jnp.sum(rowv[tw_pad : 2 * tw_pad] * xsel, axis=0) * inv255
+            tb = jnp.sum(rowv[2 * tw_pad :] * xsel, axis=0) * inv255
+            tr = jnp.where(has_t, tr, 1.0)
+            tg = jnp.where(has_t, tg, 1.0)
+            tb = jnp.where(has_t, tb, 1.0)
+            out_ref[C_BASE + 0, :] = d_r * tr + s_r
+            out_ref[C_BASE + 1, :] = d_g * tg + s_g
+            out_ref[C_BASE + 2, :] = d_b * tb + s_b
+        elif has_tex:
+            out_ref[C_BASE + 0, :] = d_r
+            out_ref[C_BASE + 1, :] = d_g
+            out_ref[C_BASE + 2, :] = d_b
+            out_ref[S_BASE + 0, :] = s_r
+            out_ref[S_BASE + 1, :] = s_g
+            out_ref[S_BASE + 2, :] = s_b
+        else:
+            out_ref[C_BASE + 0, :] = d_r + s_r
+            out_ref[C_BASE + 1, :] = d_g + s_g
+            out_ref[C_BASE + 2, :] = d_b + s_b
 
         # --- reflection continuation (Code/raytracer.cpp:307-333)
         ddn = rb.dx * nx + rb.dy * ny + rb.dz * nz
@@ -524,23 +620,26 @@ def _wave_kernel(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14)
+    jax.custom_vjp,
+    nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17),
 )
 def wave_level_call(
-    out_prev, fuzz, table, lights, ranges, motion, n_lights, glossy,
-    refraction, min_tp, has_tex, uv_kinds, area, nss, ablate=(),
+    out_prev, fuzz, table, lights, tex, twh, ranges, motion, n_lights,
+    glossy, refraction, min_tp, has_tex, uv_kinds, area, nss, ktex,
+    ablate=(),
 ):
     """One bounce level.  out_prev: the previous level's (rows, R_pad)
     output (or the primary bootstrap tensor); the queue is its row-block 0.
     fuzz: (F, R_pad) XLA-sampled unit-ball rows — glossy fuzz first (when
-    glossy), then 3*nss rows per area light in light order."""
+    glossy), then 3*nss rows per area light in light order.  tex/twh: the
+    pack_tex_matrix operands when ktex, else (8, 128)/(2, 1) dummies."""
     r_pad = out_prev.shape[1]
-    rows = out_rows(has_tex, has_tex and uv_kinds[0])
+    rows = out_rows(has_tex and not ktex, has_tex and uv_kinds[0])
     kernel = functools.partial(
         _wave_kernel,
         ranges=ranges, motion=motion, n_lights=n_lights, glossy=glossy,
         refraction=refraction, min_tp=min_tp, has_tex=has_tex,
-        uv_kinds=uv_kinds, area=area, nss=nss, ablate=ablate,
+        uv_kinds=uv_kinds, area=area, nss=nss, ktex=ktex, ablate=ablate,
     )
     # Input block = the FULL row dimension (Mosaic requires block rows
     # divisible by 8 or equal to the array's); the kernel reads only the
@@ -562,20 +661,27 @@ def wave_level_call(
             ),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # shaded geom table
             pl.BlockSpec(memory_space=pltpu.SMEM),  # light table
+            # texture matrix: whole-array resident in VMEM (<= 192 KB);
+            # the index map is block-invariant so Mosaic fetches it once.
+            pl.BlockSpec(
+                tex.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # texture (w, h) table
         ],
         out_specs=pl.BlockSpec(
             (rows, WAVE_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((rows, r_pad), jnp.float32),
         interpret=pallas_interpret(),
-    )(out_prev, fuzz, table, lights)
+    )(out_prev, fuzz, table, lights, tex, twh)
 
 
 wave_level_call.defvjp(
-    lambda out_prev, fuzz, table, lights, *nd: (
-        wave_level_call(out_prev, fuzz, table, lights, *nd), None
+    lambda out_prev, fuzz, table, lights, tex, twh, *nd: (
+        wave_level_call(out_prev, fuzz, table, lights, tex, twh, *nd),
+        None,
     ),
-    lambda *args: (None, None, None, None),
+    lambda *args: (None, None, None, None, None, None),
 )
 
 

@@ -226,20 +226,42 @@ def _wave_tex_modulate(scene: Scene, out):
 
 
 # Default fused-path queue-shrink schedule: (level, factor) pairs applied
-# cumulatively — levels 0-1 run full width, levels 2-3 at 1/8, 4+ at 1/16.
-# Swept on the flagship scene on TPU v5e (r4): ((2,8),(4,2)) gave 19.85M
-# primary rays/s vs 16.09M for ((2,4),(4,4)) and 12.56M unshrunk; deeper
-# third stages measured flat.  Safety: worst measured live fractions on
-# the committed demo scenes are 6.35% entering level 2 (vs 12.5% cap) and
-# 1.26% entering level 4 (vs 6.25% cap); overflow drops lowest-throughput
-# lanes first and is surfaced through TraceStats.dropped — a test pins
-# dropped == 0 and the headroom for all demo scenes.
-WAVE_SHRINK_AUTO = ((2, 8), (4, 2))
+# cumulatively — levels 0-1 run full width, levels 2-3 at 1/4, 4+ at 1/8.
+# Capacity must clear the WORST-tile group occupancy, not the frame
+# average: on the flagship the densest 136-row tile enters level 2 with
+# live lanes in 17.3% of 256-lane groups (frame average 8.8%) and level 4
+# at 7.75%, so the r4 ((2,8),(4,2)) schedule would drop rays.  ((2,4),
+# (4,2)) keeps 1.44x / 1.61x worst-tile headroom; with group-granular
+# compaction the machinery is cheap enough that the wider widths cost
+# almost nothing.  Overflow drops dimmest-first, is counted in
+# TraceStats.dropped, and triggers a host-side RuntimeWarning from the
+# render pipeline — a test pins dropped == 0 for all committed demo
+# scenes.
+WAVE_SHRINK_AUTO = ((2, 4), (4, 2))
+
+# Shrink-compaction granularity: whole contiguous groups of this many
+# lanes are kept or dropped together.  Group granularity is what makes
+# the compaction nearly free on TPU (measured r5, 4.2M-lane tile):
+# lane-level selection cost 74 ms/tile — a 2-op sort of 4.2M lanes
+# (21 ms) + a 9-row per-lane gather (31 ms) + a fold-back segment_sum
+# over 4.2M segments, i.e. an XLA scatter (34 ms 2 stages) — while the
+# group version sorts 16k per-group keys (~0), gathers contiguous
+# (rows, 1, G) chunks, and folds back with a segment_sum over only
+# w/G unique group ids.  Lanes cluster heavily (spp-minor ray order +
+# spatially coherent bounce liveness: 6.3% live lanes entering level 2
+# occupy 8.8% of 256-lane groups on the flagship), so the capacity loss
+# vs lane granularity is small; overflow still drops dimmest-first
+# (per-group max throughput) and is counted in TraceStats.dropped.
+# 128 rather than 256: the flagship's glossy fuzz decorrelates
+# deep-bounce liveness enough that 256-lane groups overflowed the
+# level-4 stage of the densest tile by ~1.5% of continuations.
+WAVE_SHRINK_GROUP = 128
 
 
 def _trace_wave(
     scene: Scene, o, d, times, key, light_samples, min_tp, return_stats,
-    max_depth, shrink=WAVE_SHRINK_AUTO,
+    max_depth, shrink=WAVE_SHRINK_AUTO, kernel_tex=None,
+    return_dropped=False,
 ):
     """Fused-level fast path: the whole per-level body (closest hit,
     material recovery, Blinn-Phong, shadow VISIBILITY — in-kernel any-hit,
@@ -268,6 +290,8 @@ def _trace_wave(
         WAVE_BLOCK,
         hit_row,
         out_rows,
+        pack_tex_matrix,
+        tex_kernel_supported,
         wave_level_call,
         wave_tables,
     )
@@ -276,10 +300,23 @@ def _trace_wave(
     r_pad = -(-r // WAVE_BLOCK) * WAVE_BLOCK
     n_l = scene.n_lights
     has_tex = scene.has_textures
-    sphere_uv = has_tex and scene.has_spheres
-    rows = out_rows(has_tex, sphere_uv)
-    hr = hit_row(has_tex, sphere_uv)
+    # Texture sampling: in-kernel one-hot matmul when the atlas fits the
+    # caps (tex_kernel_supported; kernel_tex=False forces the XLA-glue
+    # path for A/B testing), else per-level _wave_tex_modulate glue.
+    ktex = (
+        tex_kernel_supported(scene) if kernel_tex is None else
+        (kernel_tex and tex_kernel_supported(scene))
+    )
+    tex_glue = has_tex and not ktex
+    sphere_uv = tex_glue and scene.has_spheres
+    rows = out_rows(tex_glue, sphere_uv)
+    hr = hit_row(tex_glue, sphere_uv)
     table, ranges, lights = wave_tables(scene)
+    if ktex:
+        tex_m, twh = pack_tex_matrix(scene)
+    else:
+        tex_m = jnp.zeros((8, 128), jnp.bfloat16)
+        twh = jnp.zeros((2, 1), jnp.float32)
     area = tuple(scene.lights.is_area)
     uv_kinds = (scene.has_spheres, scene.has_cubes, scene.has_rects)
 
@@ -329,11 +366,12 @@ def _trace_wave(
             k_level = jax.random.fold_in(key, depth)
             fuzz = jax.lax.stop_gradient(level_fuzz(k_level, width))
             out = wave_level_call(
-                prev, fuzz, table, lights, ranges, scene.has_motion, n_l,
-                scene.has_glossy, scene.has_refraction, min_tp, has_tex,
-                uv_kinds, area, light_samples,
+                prev, fuzz, table, lights, tex_m, twh, ranges,
+                scene.has_motion, n_l, scene.has_glossy,
+                scene.has_refraction, min_tp, has_tex, uv_kinds, area,
+                light_samples, ktex,
             )
-            if has_tex:
+            if tex_glue:
                 contrib = _wave_tex_modulate(scene, out)
             else:
                 contrib = out[C_BASE : C_BASE + 3]
@@ -375,19 +413,33 @@ def _trace_wave(
         lo, hi = bounds[si], bounds[si + 1]
         w = widths[si]
         if si > 0:
+            # Group-granular compaction (see WAVE_SHRINK_GROUP): keep
+            # whole contiguous G-lane groups, live groups ordered by
+            # descending max-throughput, dead groups last — overflow
+            # drops the dimmest groups first.  The sort is over n_g
+            # per-group keys (not lanes), the queue gather moves
+            # contiguous (rows, 1, G) chunks, and fold-back becomes a
+            # w/G-index segment_sum — together ~70 ms/tile cheaper than
+            # lane-level selection at bench width (module comment).
+            G = WAVE_SHRINK_GROUP
             w_prev = prev.shape[1]
-            act = prev[7] > 0.0
-            # Priority: live lanes by descending throughput, dead last —
-            # overflow (live beyond w) drops the dimmest paths first.
-            prio = jnp.where(act, -prev[8], jnp.inf)
-            idx = jnp.arange(w_prev, dtype=jnp.int32)
-            _, idx_s = jax.lax.sort((prio, idx), num_keys=1, is_stable=True)
-            top = jax.lax.stop_gradient(idx_s[:w])
-            q = jnp.take(prev[:Q_ROWS], top, axis=1)
+            n_g = w_prev // G
+            n_s = w // G
+            act_g = (prev[7] > 0.0).reshape(n_g, G)
+            tp_g = jnp.max(prev[8].reshape(n_g, G), axis=1)
+            live_g = jnp.any(act_g, axis=1)
+            prio = jnp.where(live_g, -tp_g, jnp.inf)
+            gidx = jnp.arange(n_g, dtype=jnp.int32)
+            _, gsel = jax.lax.sort((prio, gidx), num_keys=1, is_stable=True)
+            sel = jax.lax.stop_gradient(gsel[:n_s])
+            q = jnp.take(
+                prev[:Q_ROWS].reshape(Q_ROWS, n_g, G), sel, axis=1
+            ).reshape(Q_ROWS, w)
             prev = jnp.pad(q, ((0, rows - Q_ROWS), (0, 0)))
-            dest = top if dest is None else jnp.take(dest, top)
-            n_live = jnp.sum(act.astype(jnp.int32))
-            drop_updates.append((lo, jnp.maximum(n_live - w, 0)))
+            dest = sel if dest is None else jnp.take(dest, sel)
+            live_cnt = jnp.sum(act_g.astype(jnp.int32), axis=1)
+            kept = jnp.sum(jnp.take(live_cnt, sel))
+            drop_updates.append((lo, jnp.sum(live_cnt) - kept))
             accum_s = jnp.zeros((3, w), jnp.float32)
         else:
             accum_s = accum
@@ -402,21 +454,31 @@ def _trace_wave(
         else:
             stage_accums.append((accum_s, dest))
 
-    # Fold shrunk-stage contributions back to their original slots: one
-    # small sort-by-dest + segment_sum per stage (scatter-free).
+    # Fold shrunk-stage contributions back to their original groups:
+    # dest_c holds each kept group's ORIGINAL group id (unique within a
+    # stage), so this is a scatter of only w/G contiguous 3*G-wide rows —
+    # cheap, unlike the 4.2M-segment lane-level segment_sum it replaces.
+    G = WAVE_SHRINK_GROUP
     for accum_c, dest_c in stage_accums:
-        sd, c0, c1, c2 = jax.lax.sort(
-            (dest_c, accum_c[0], accum_c[1], accum_c[2]),
-            num_keys=1,
-            is_stable=False,
+        n_s = dest_c.shape[0]
+        acc_g = (
+            accum_c.reshape(3, n_s, G).transpose(1, 0, 2).reshape(n_s, 3 * G)
         )
-        seg = jax.ops.segment_sum(
-            jnp.stack([c0, c1, c2], axis=1), sd, num_segments=r_pad,
-            indices_are_sorted=True,
+        seg = jax.ops.segment_sum(acc_g, dest_c, num_segments=r_pad // G)
+        accum = accum + (
+            seg.reshape(r_pad // G, 3, G).transpose(1, 0, 2).reshape(3, r_pad)
         )
-        accum = accum + seg.T
 
     radiance = accum[:, :r].T
+    if return_dropped and not return_stats:
+        # Shrink overflow must never be silent (the reference never drops
+        # rays): the render pipeline fetches this scalar with each tile
+        # and warns from the host (device-side debug callbacks are not
+        # supported on every backend, e.g. the axon tunnel).
+        total_drop = jnp.int32(0)
+        for _, cnt in drop_updates:
+            total_drop = total_drop + cnt
+        return radiance, total_drop
     if return_stats:
         parts = list(zip(*stat_stages))  # 4 tuples of per-stage arrays
         live, hits, spawned, dropped = (
@@ -444,6 +506,8 @@ def trace_wavefront(
     max_depth: int | None = None,
     segments: int = 0,
     shrink="auto",
+    kernel_tex: bool | None = None,
+    return_dropped: bool = False,
 ) -> jnp.ndarray:
     """Trace R primary rays to completion.  Returns (R, 3) radiance, or
     (radiance, TraceStats) when return_stats — per-level live/hit/spawn/drop
@@ -503,6 +567,8 @@ def trace_wavefront(
             return out, TraceStats(
                 live=jnp.full(1, r, jnp.int32), hits=z, spawned=z, dropped=z
             )
+        if return_dropped:
+            return out, jnp.int32(0)
         return out
 
     # Branching factor 2 requires a single MATERIAL that both reflects and
@@ -538,6 +604,7 @@ def trace_wavefront(
                 return _trace_wave(
                     scene, origins, directions, times, key, light_samples,
                     min_throughput, return_stats, max_depth, sched,
+                    kernel_tex, return_dropped,
                 )
 
     accum = jnp.zeros((r, 3), jnp.float32)
@@ -711,13 +778,21 @@ def trace_wavefront(
             counts = tuple(jnp.sum(c) for c in seg_counts)
         else:
             accum, q, counts = inslot_level(accum, q, k_level)
-        return (accum, q), (counts if return_stats else None)
+        if return_stats:
+            out_row = counts
+        elif return_dropped and do_compact:
+            out_row = counts[3]
+        else:
+            out_row = None
+        return (accum, q), out_row
 
     if not spawn:
         # Purely local scene: one level suffices.
         accum, _, row = inslot_level(accum, q, jax.random.fold_in(key, 0))
         if return_stats:
             return accum[:r], TraceStats(*(v[None] for v in row))
+        if return_dropped:
+            return accum[:r], jnp.int32(0)
         return accum[:r]
 
     # max_depth+1 levels (depth 0..10 by default); children spawned by the
@@ -736,4 +811,9 @@ def trace_wavefront(
     )
     if return_stats:
         return accum[:r], TraceStats(*rows)
+    if return_dropped:
+        # Only compacted (two-way) queues can overflow on this path.
+        return accum[:r], (
+            jnp.sum(rows) if rows is not None else jnp.int32(0)
+        )
     return accum[:r]

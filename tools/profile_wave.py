@@ -97,11 +97,22 @@ def main():
     o, d = pixel_rays(scene.camera, px, py, key)
     tm = jax.random.uniform(jax.random.fold_in(key, 9), (n,))
 
+    from ray_tracying_tpu.kernels.wavefront import (
+        pack_tex_matrix,
+        tex_kernel_supported,
+    )
+
     n_l = scene.n_lights
     has_tex = scene.has_textures
+    ktex = tex_kernel_supported(scene)
     r_pad = -(-n // WAVE_BLOCK) * WAVE_BLOCK
-    rows_out = out_rows(has_tex, has_tex and scene.has_spheres)
+    rows_out = out_rows(has_tex and not ktex, has_tex and scene.has_spheres)
     table, ranges, lights = wave_tables(scene)
+    if ktex:
+        tex_m, twh = pack_tex_matrix(scene)
+    else:
+        tex_m = jnp.zeros((8, 128), jnp.bfloat16)
+        twh = jnp.zeros((2, 1), jnp.float32)
     area = tuple(scene.lights.is_area)
     uv_kinds = (scene.has_spheres, scene.has_cubes, scene.has_rects)
 
@@ -126,15 +137,13 @@ def main():
             return jnp.zeros((1, r_pad), jnp.float32)
         return jnp.concatenate(parts, axis=0)
 
-    wave = functools.partial(
-        wave_level_call,
-        table=table, lights=lights, ranges=ranges,
-        motion=scene.has_motion, n_lights=n_l, glossy=scene.has_glossy,
-        refraction=scene.has_refraction, min_tp=0.0, has_tex=has_tex,
-        uv_kinds=uv_kinds, area=area, nss=args.light_samples,
+    step = jax.jit(
+        lambda p, k: wave_level_call(
+            p, fuzz_for(k), table, lights, tex_m, twh, ranges,
+            scene.has_motion, n_l, scene.has_glossy, scene.has_refraction,
+            0.0, has_tex, uv_kinds, area, args.light_samples, ktex,
+        )
     )
-
-    step = jax.jit(lambda p, k: wave(p, fuzz_for(k)))
 
     report = {
         "scene": os.path.basename(args.scene),
