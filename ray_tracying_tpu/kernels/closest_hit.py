@@ -99,6 +99,10 @@ def geom_t(g, table_ref, rb: RayBlock, spec, want_normal=False):
     (Code/shapes.cpp:178-187), with normalization deferred to the caller).
     """
     single = spec.get("single", False)
+    # AD-safe mode (kernels/wave_ref.py): a large FINITE miss sentinel
+    # instead of inf — inf-valued primals turn zero cotangents into NaN
+    # (0 * inf) in backward mul rules.  The kernels keep true inf.
+    INF = spec.get("inf", _INF)
     # Table is stored transposed (17, G): SMEM pads the minor dimension of
     # every row to 512 bytes, so (G, 17) would cost 512 B/geom and overflow
     # the ~1 MB SMEM at a few thousand geoms; (17, G) costs 4 B/geom.
@@ -106,7 +110,7 @@ def geom_t(g, table_ref, rb: RayBlock, spec, want_normal=False):
     gid = table_ref[16, g]
     kind = c[15]
 
-    t_geom = jnp.full(rb.ox.shape, _INF, jnp.float32)
+    t_geom = jnp.full(rb.ox.shape, INF, jnp.float32)
     zero = jnp.zeros(rb.ox.shape, jnp.float32)
     nlx = nly = nlz = zero  # object-space normal of the winning kind
 
@@ -132,18 +136,22 @@ def geom_t(g, table_ref, rb: RayBlock, spec, want_normal=False):
             b = 2.0 * (olx * dlx + oly * dly + olz * dlz)
             cc = olx * olx + oly * oly + olz * olz - 1.0
             disc = b * b - 4.0 * a * cc
-            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            # sqrt guarded for AD: sqrt(max(x,0)) has an inf gradient at
+            # 0 that turns masked-out lanes into NaN under the wave_ref
+            # reconstruction VJP; the where keeps values identical.
+            pos = disc > 0.0
+            sq = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
             a_safe = jnp.where(a > 0.0, a, 1.0)
             t1 = (-b - sq) / (2.0 * a_safe)
             t2 = (-b + sq) / (2.0 * a_safe)
             t_loc = jnp.where(
-                t1 > C.EPS_T_MIN, t1, jnp.where(t2 > C.EPS_T_MIN, t2, _INF)
+                t1 > C.EPS_T_MIN, t1, jnp.where(t2 > C.EPS_T_MIN, t2, INF)
             )
-            t_loc = jnp.where((disc >= 0.0) & (a > 0.0), t_loc, _INF)
+            t_loc = jnp.where((disc >= 0.0) & (a > 0.0), t_loc, INF)
             t_sph = t_loc * rb.dnorm
             if want_normal:
                 # n_loc = local hit point (unit sphere, Code/shapes.cpp:241)
-                tl = jnp.where(jnp.isfinite(t_loc), t_loc, 0.0)
+                tl = jnp.where(t_loc < INF, t_loc, 0.0)
                 sx = olx + tl * dlx
                 sy = oly + tl * dly
                 sz = olz + tl * dlz
@@ -158,8 +166,8 @@ def geom_t(g, table_ref, rb: RayBlock, spec, want_normal=False):
 
         if spec["cubes"]:
             # Slab test with t > 0, no 1e-3 epsilon (Code/shapes.cpp:361-393).
-            t_near = jnp.full_like(olx, -_INF)
-            t_far = jnp.full_like(olx, _INF)
+            t_near = jnp.full_like(olx, -INF)
+            t_far = jnp.full_like(olx, INF)
             miss = jnp.zeros(olx.shape, jnp.bool_)
             ents = []
             sgns = []
@@ -168,8 +176,8 @@ def geom_t(g, table_ref, rb: RayBlock, spec, want_normal=False):
                 d_safe = jnp.where(par, 1.0, ddc)
                 s1 = (-0.5 - oo) / d_safe
                 s2 = (0.5 - oo) / d_safe
-                ent = jnp.where(par, -_INF, jnp.minimum(s1, s2))
-                ext = jnp.where(par, _INF, jnp.maximum(s1, s2))
+                ent = jnp.where(par, -INF, jnp.minimum(s1, s2))
+                ext = jnp.where(par, INF, jnp.maximum(s1, s2))
                 miss = miss | (par & ((oo < -0.5) | (oo > 0.5)))
                 t_near = jnp.maximum(t_near, ent)
                 t_far = jnp.minimum(t_far, ext)
@@ -178,7 +186,7 @@ def geom_t(g, table_ref, rb: RayBlock, spec, want_normal=False):
                     sgns.append(jnp.where(s1 < s2, -1.0, 1.0))
             miss = miss | (t_near > t_far) | (t_far < 0.0)
             t_cub = jnp.where(t_near > 0.0, t_near, t_far)
-            t_cub = jnp.where(miss | (t_cub < 0.0), _INF, t_cub)
+            t_cub = jnp.where(miss | (t_cub < 0.0), INF, t_cub)
             t_cub = t_cub * rb.dnorm
             if want_normal:
                 # Entry face: the axis whose slab entry won the max; ties
@@ -212,7 +220,7 @@ def geom_t(g, table_ref, rb: RayBlock, spec, want_normal=False):
                 & (t_r >= C.EPS_T_MIN)
                 & (hx >= -0.5) & (hx <= 0.5) & (hy >= -0.5) & (hy <= 0.5)
             )
-            t_rec = jnp.where(ok_r, t_r, _INF)
+            t_rec = jnp.where(ok_r, t_r, INF)
             t_rec = t_rec * rb.dnorm
             if want_normal:
                 # n_loc = +z (Code/shapes.cpp:320)
@@ -248,7 +256,10 @@ def geom_t(g, table_ref, rb: RayBlock, spec, want_normal=False):
         nx = e1y * e2z - e1z * e2y
         ny = e1z * e2x - e1x * e2z
         nz = e1x * e2y - e1y * e2x
-        ln = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+        n2 = nx * nx + ny * ny + nz * nz
+        ln = jnp.where(
+            n2 > 0.0, jnp.sqrt(jnp.where(n2 > 0.0, n2, 1.0)), 0.0
+        )
         degen = ln < C.EPS_PARALLEL
         ln_safe = jnp.where(degen, 1.0, ln)
         nx, ny, nz = nx / ln_safe, ny / ln_safe, nz / ln_safe
@@ -281,7 +292,7 @@ def geom_t(g, table_ref, rb: RayBlock, spec, want_normal=False):
             & edge(cx, cy, cz, ax, ay, az)
         )
         ok = (~degen) & (~par) & (t >= 0.0) & (in_t1 | in_t2)
-        t_pl = jnp.where(ok, t, _INF)
+        t_pl = jnp.where(ok, t, INF)
         if want_normal:
             # Plane normal is already world-space (Code/shapes.cpp:454).
             one = jnp.ones(rb.ox.shape, jnp.float32)

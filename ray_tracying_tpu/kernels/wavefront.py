@@ -78,8 +78,9 @@ _TINY = 1e-20
 # PROFILE_r4.json for the measured sweep on the bundled scene).
 WAVE_BLOCK = 2048
 
-# The shaded table is (30, G) f32 in SMEM (~120 B/geom); cap well under
-# the ~1 MB SMEM budget with double-buffering headroom.
+# The shaded table is (31|32, G) f32 in SMEM (~124-128 B/geom); cap well
+# under the ~1 MB SMEM budget with double-buffering headroom
+# (6144 * 128 B = 768 KB worst case).
 WAVE_MAX_GEOMS = 6144
 
 Q_ROWS = 9
@@ -197,11 +198,14 @@ def _any_hit(table_ref, ranges, rb, maxt, init_blocked):
 def _wave_kernel(
     q_ref, fuzz_ref, table_ref, light_ref, tex_ref, twh_ref, out_ref,
     *, ranges, motion, n_lights, glossy, refraction, min_tp, has_tex,
-    uv_kinds, area, nss, ktex, ablate=(),
+    uv_kinds, area, nss, ktex, record=0, ablate=(),
 ):
     w = out_ref.shape[1]
     rows = out_ref.shape[0]
-    hr = rows - 1
+    # record > 0 appends [winner id | per-light visibility | texel rgb
+    # (ktex)] rows after act_hit — the discrete decisions the custom VJP
+    # replays through the jnp reconstruction (kernels/wave_ref.py).
+    hr = rows - 1 - record
     n_rows_table = max(end for _, _, end in ranges)
     out_ref[...] = jnp.zeros((rows, w), jnp.float32)
 
@@ -383,6 +387,8 @@ def _wave_kernel(
             s_r = s_r + qr * vis
             s_g = s_g + qg * vis
             s_b = s_b + qb * vis
+            if record:
+                out_ref[hr + 2 + li, :] = vis
 
         # --- texture UV reconstruction for the winner (textured scenes):
         # rebuild the object-space hit point from the swept w2o (one pass
@@ -516,6 +522,10 @@ def _wave_kernel(
             tr = jnp.where(has_t, tr, 1.0)
             tg = jnp.where(has_t, tg, 1.0)
             tb = jnp.where(has_t, tb, 1.0)
+            if record:
+                out_ref[hr + 2 + n_lights + 0, :] = tr
+                out_ref[hr + 2 + n_lights + 1, :] = tg
+                out_ref[hr + 2 + n_lights + 2, :] = tb
             out_ref[C_BASE + 0, :] = d_r * tr + s_r
             out_ref[C_BASE + 1, :] = d_g * tg + s_g
             out_ref[C_BASE + 2, :] = d_b * tb + s_b
@@ -617,29 +627,38 @@ def _wave_kernel(
         out_ref[7, :] = jnp.where(ok, 1.0, 0.0)
         out_ref[8, :] = jnp.where(ok, tp2, 0.0)
         out_ref[hr, :] = act_hit
+        if record:
+            out_ref[hr + 1, :] = jnp.where(hit_f, best_id_f, -1.0)
 
 
 @functools.partial(
     jax.custom_vjp,
-    nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17),
+    nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18),
 )
 def wave_level_call(
     out_prev, fuzz, table, lights, tex, twh, ranges, motion, n_lights,
     glossy, refraction, min_tp, has_tex, uv_kinds, area, nss, ktex,
-    ablate=(),
+    record=0, ablate=(),
 ):
     """One bounce level.  out_prev: the previous level's (rows, R_pad)
     output (or the primary bootstrap tensor); the queue is its row-block 0.
     fuzz: (F, R_pad) XLA-sampled unit-ball rows — glossy fuzz first (when
     glossy), then 3*nss rows per area light in light order.  tex/twh: the
-    pack_tex_matrix operands when ktex, else (8, 128)/(2, 1) dummies."""
+    pack_tex_matrix operands when ktex, else (8, 128)/(2, 1) dummies.
+
+    record > 0 (differentiable mode) appends 1 + n_lights (+3 ktex)
+    recording rows; the custom VJP replays the level through the jnp
+    reconstruction (kernels/wave_ref.py) given those recorded discrete
+    decisions and differentiates THAT — cotangents flow to the queue
+    rows, the shaded geom table, and the light table."""
     r_pad = out_prev.shape[1]
-    rows = out_rows(has_tex and not ktex, has_tex and uv_kinds[0])
+    rows = out_rows(has_tex and not ktex, has_tex and uv_kinds[0]) + record
     kernel = functools.partial(
         _wave_kernel,
         ranges=ranges, motion=motion, n_lights=n_lights, glossy=glossy,
         refraction=refraction, min_tp=min_tp, has_tex=has_tex,
-        uv_kinds=uv_kinds, area=area, nss=nss, ktex=ktex, ablate=ablate,
+        uv_kinds=uv_kinds, area=area, nss=nss, ktex=ktex, record=record,
+        ablate=ablate,
     )
     # Input block = the FULL row dimension (Mosaic requires block rows
     # divisible by 8 or equal to the array's); the kernel reads only the
@@ -676,13 +695,49 @@ def wave_level_call(
     )(out_prev, fuzz, table, lights, tex, twh)
 
 
-wave_level_call.defvjp(
-    lambda out_prev, fuzz, table, lights, tex, twh, *nd: (
-        wave_level_call(out_prev, fuzz, table, lights, tex, twh, *nd),
-        None,
-    ),
-    lambda *args: (None, None, None, None, None, None),
-)
+def _wave_level_fwd(out_prev, fuzz, table, lights, tex, twh, *nd):
+    out = wave_level_call(out_prev, fuzz, table, lights, tex, twh, *nd)
+    record = nd[11]
+    if not record:
+        # Inference mode: no recording rows, zero cotangents (the general
+        # path handles AD for scenes that never requested record mode).
+        return out, None
+    return out, (out_prev, fuzz, table, lights, out)
+
+
+def _wave_level_bwd(
+    ranges, motion, n_lights, glossy, refraction, min_tp, has_tex,
+    uv_kinds, area, nss, ktex, record, ablate, res, g,
+):
+    if res is None:
+        return (None, None, None, None, None, None)
+    from ray_tracying_tpu.kernels.wave_ref import wave_level_ref
+
+    out_prev, fuzz, table, lights, out = res
+    rows = out.shape[0]
+    hr = rows - 1 - record
+    best_id = out[hr + 1]
+    vis = out[hr + 2 : hr + 2 + n_lights]
+    texel = (
+        out[hr + 2 + n_lights : hr + 2 + n_lights + 3] if ktex else None
+    )
+    kinds = {k for k, _, _ in ranges}
+    kp = (0 in kinds, 1 in kinds, 2 in kinds, 3 in kinds)
+
+    def recon(out_prev, table, lights):
+        return wave_level_ref(
+            out_prev, fuzz, table, lights, best_id, vis, texel,
+            motion=motion, n_lights=n_lights, glossy=glossy,
+            refraction=refraction, min_tp=min_tp, ktex=ktex,
+            kinds_present=kp, rows=rows, hr=hr,
+        )
+
+    _, vjp = jax.vjp(recon, out_prev, table, lights)
+    gp, gt, gl = vjp(g)
+    return gp, None, gt, gl, None, None
+
+
+wave_level_call.defvjp(_wave_level_fwd, _wave_level_bwd)
 
 
 def wave_supported(scene: Scene, light_samples: int = 1) -> bool:
@@ -706,17 +761,34 @@ def wave_supported(scene: Scene, light_samples: int = 1) -> bool:
     return True
 
 
-def wave_tables(scene: Scene):
-    """(shaded table (29|30, G) transposed for SMEM, static kind ranges,
+def wave_tables(scene: Scene, stop_grad: bool = True):
+    """(shaded table (31|32, G) transposed for SMEM, static kind ranges,
     light table (8, L)).  Kind segments are OCC_CHUNK-padded so the
     in-kernel any-hit loops can unroll; the same table serves closest hit,
-    material recovery, and shadow tests."""
+    material recovery, and shadow tests.
+
+    stop_grad=False (differentiable mode) keeps the packing traceable so
+    table/light cotangents from the level VJP chain back to the Scene's
+    material, transform, and light leaves."""
     table, ranges = pack_geom_table_shaded(
         scene, chunk=OCC_CHUNK, with_tex=scene.has_textures
     )
     lights = pack_light_table(scene)
-    return (
-        lax.stop_gradient(table.T),
-        ranges,
-        lax.stop_gradient(lights),
-    )
+    if stop_grad:
+        return (
+            lax.stop_gradient(table.T),
+            ranges,
+            lax.stop_gradient(lights),
+        )
+    return table.T, ranges, lights
+
+
+def wave_diff_supported(scene: Scene, light_samples: int = 1) -> bool:
+    """Static gate for the DIFFERENTIABLE fused path: everything
+    wave_supported requires, plus textures must be in-kernel (the
+    glue-texture layout's uv rows are not reconstructed by wave_ref)."""
+    if not wave_supported(scene, light_samples):
+        return False
+    if scene.has_textures and not tex_kernel_supported(scene):
+        return False
+    return True

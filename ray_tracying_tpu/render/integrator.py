@@ -239,6 +239,14 @@ def _wave_tex_modulate(scene: Scene, out):
 # scenes.
 WAVE_SHRINK_AUTO = ((2, 4), (4, 2))
 
+# Conservative schedule for SPARSE liveness regimes (low spp: no
+# per-pixel lane clumps, so live lanes fragment across many groups).
+# Caps 50% / 25% / 12.5% of groups at levels 2 / 4 / 6 against measured
+# flagship 1-spp group occupancies of ~8% / 3% / 1.6% — including the
+# glossy-fuzz decorrelation that made ((2,4),(4,2)) drop a handful of
+# rays at 1 spp.
+WAVE_SHRINK_SPARSE = ((2, 2), (4, 2), (6, 2))
+
 # Shrink-compaction granularity: whole contiguous groups of this many
 # lanes are kept or dropped together.  Group granularity is what makes
 # the compaction nearly free on TPU (measured r5, 4.2M-lane tile):
@@ -261,7 +269,7 @@ WAVE_SHRINK_GROUP = 128
 def _trace_wave(
     scene: Scene, o, d, times, key, light_samples, min_tp, return_stats,
     max_depth, shrink=WAVE_SHRINK_AUTO, kernel_tex=None,
-    return_dropped=False,
+    return_dropped=False, differentiable=False,
 ):
     """Fused-level fast path: the whole per-level body (closest hit,
     material recovery, Blinn-Phong, shadow VISIBILITY — in-kernel any-hit,
@@ -309,9 +317,13 @@ def _trace_wave(
     )
     tex_glue = has_tex and not ktex
     sphere_uv = tex_glue and scene.has_spheres
-    rows = out_rows(tex_glue, sphere_uv)
+    # Differentiable mode: the kernel records its discrete decisions
+    # (winner id, per-light visibility, texel) in extra rows; the level
+    # custom VJP replays them through kernels/wave_ref.py.
+    record = (1 + n_l + (3 if ktex else 0)) if differentiable else 0
+    rows = out_rows(tex_glue, sphere_uv) + record
     hr = hit_row(tex_glue, sphere_uv)
-    table, ranges, lights = wave_tables(scene)
+    table, ranges, lights = wave_tables(scene, stop_grad=not differentiable)
     if ktex:
         tex_m, twh = pack_tex_matrix(scene)
     else:
@@ -327,9 +339,9 @@ def _trace_wave(
         ],
         axis=0,
     )
-    boot = jnp.pad(
-        jax.lax.stop_gradient(qrows), ((0, rows - Q_ROWS), (0, r_pad - r))
-    )
+    if not differentiable:
+        qrows = jax.lax.stop_gradient(qrows)
+    boot = jnp.pad(qrows, ((0, rows - Q_ROWS), (0, r_pad - r)))
 
     levels = (
         (max_depth + 1)
@@ -369,7 +381,7 @@ def _trace_wave(
                 prev, fuzz, table, lights, tex_m, twh, ranges,
                 scene.has_motion, n_l, scene.has_glossy,
                 scene.has_refraction, min_tp, has_tex, uv_kinds, area,
-                light_samples, ktex,
+                light_samples, ktex, record,
             )
             if tex_glue:
                 contrib = _wave_tex_modulate(scene, out)
@@ -588,8 +600,7 @@ def trace_wavefront(
     # light.  Inference-only; scenes outside its scope take the general
     # path below.
     if (
-        not differentiable
-        and not use_bvh
+        not use_bvh
         and not two_way
         and compact != "always"
         and segments <= 1
@@ -597,14 +608,26 @@ def trace_wavefront(
         from ray_tracying_tpu.render.intersect import _use_pallas
 
         if _use_pallas():
-            from ray_tracying_tpu.kernels.wavefront import wave_supported
+            from ray_tracying_tpu.kernels.wavefront import (
+                wave_diff_supported,
+                wave_supported,
+            )
 
-            if wave_supported(scene, light_samples):
+            # Differentiable renders use the fused path too (record-mode
+            # kernel + wave_ref reconstruction VJP) when the scene's
+            # texture handling is in-kernel; glue-textured scenes fall
+            # back to the general differentiable path.
+            ok_fused = (
+                wave_diff_supported(scene, light_samples)
+                if differentiable
+                else wave_supported(scene, light_samples)
+            )
+            if ok_fused:
                 sched = WAVE_SHRINK_AUTO if shrink == "auto" else (shrink or ())
                 return _trace_wave(
                     scene, origins, directions, times, key, light_samples,
                     min_throughput, return_stats, max_depth, sched,
-                    kernel_tex, return_dropped,
+                    kernel_tex, return_dropped, differentiable,
                 )
 
     accum = jnp.zeros((r, 3), jnp.float32)

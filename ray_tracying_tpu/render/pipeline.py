@@ -107,15 +107,27 @@ def _render_tile(
     # Queue shrinking relies on live-lane CLUSTERING (whole lane groups
     # are kept or dropped): spp-minor ray order gives every pixel a
     # contiguous clump of lanes, so at >= 8 samples/pixel the committed
-    # scenes hold 1.7-2.1x worst-tile headroom — but at 1-4 spp liveness
-    # scatters to near-single-lane runs and group compaction would drop
-    # live rays (det_basic at 1 spp measured 18 drops -> 9-step pixel
-    # error).  Low-spp renders therefore run unshrunk; their width is
-    # small enough that dead-level overhead is noise.
+    # scenes hold 1.7-2.1x worst-tile headroom under the default
+    # schedule, while at 1-4 spp liveness scatters to near-single-lane
+    # runs and the 2x-later, 3-6x-headroom WAVE_SHRINK_SPARSE schedule
+    # applies.  Small calls don't shrink at all: below ~1M lanes the
+    # dead-level overhead being saved is milliseconds, while the shrunk
+    # ABSOLUTE width gets so narrow that scattered live lanes can't fit
+    # at group granularity (bvh_det at 320x180x1spp: 281 live lanes vs a
+    # 64-group floor -> 62 dropped).
+    from ray_tracying_tpu.render.integrator import WAVE_SHRINK_SPARSE
+
+    n_lanes = rows * width * spp
+    if n_lanes < (1 << 20):
+        shrink_arg = ()
+    elif spp >= 8:
+        shrink_arg = "auto"
+    else:
+        shrink_arg = WAVE_SHRINK_SPARSE
     out = trace_wavefront(
         scene, o, d, times, k_trace, light_samples, queue_mult, use_bvh,
         min_throughput, "auto", differentiable, return_stats,
-        segments=segments, shrink="auto" if spp >= 8 else (),
+        segments=segments, shrink=shrink_arg,
         return_dropped=not return_stats,
     )
     colors, aux = out if isinstance(out, tuple) else (out, None)

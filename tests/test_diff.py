@@ -152,3 +152,82 @@ def test_fit_checkpoint_and_resume(tmp_path):
         np.asarray(theta_c["materials.diffuse"]),
         atol=1e-5,
     )
+
+
+def test_fused_diff_matches_general_grads():
+    """The fused differentiable path (record-mode megakernel + wave_ref
+    reconstruction VJP) must produce the same gradients as the general
+    differentiable path for every supported parameter class, including
+    ray origins (camera chain: needs the dt/d(origin) term from the
+    winner re-intersection) and glossy roughness (fuzz stream shared)."""
+    import os
+
+    from ray_tracying_tpu.render.integrator import trace_wavefront
+    from ray_tracying_tpu.render.camera import pixel_rays
+
+    d = minimal_camera()
+    d["lights"] = [
+        {"location": [0, 0, 5], "color": [1, 1, 1], "intensity": 300.0},
+        {"location": [4, 2, 3], "color": [1.0, 0.8, 0.6], "intensity": 200.0},
+    ]
+    d["spheres"] = [
+        {"location": [0, 6, 0], "radius": 1.5,
+         "material": {"diffuse_color": [0.8, 0.2, 0.2],
+                      "reflectivity": 0.4, "roughness": 0.1}},
+    ]
+    d["cubes"] = [
+        {"translation": [2.5, 6, -0.5], "rotation": [0.2, 0.4, 0.1],
+         "material": {"diffuse_color": [0.9, 0.8, 0.3],
+                      "reflectivity": 0.3, "roughness": 0.1}},
+    ]
+    d["rectangles"] = [
+        {"translation": [0, 6, -2], "rotation": [0, 0, 0],
+         "scale": [14, 14, 1],
+         "material": {"diffuse_color": [0.3, 0.5, 0.3],
+                      "reflectivity": 0.2, "roughness": 0.0}},
+    ]
+    s = load_scene_dict(d)
+    rng = np.random.default_rng(7)
+    dirs = rng.normal(size=(256, 3)).astype(np.float32)
+    dirs[:, 1] = np.abs(dirs[:, 1]) + 0.4
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    o = jnp.zeros((256, 3))
+    dd = jnp.asarray(dirs)
+    tm = jnp.zeros(256)
+    key = jax.random.key(3)
+    paths = (
+        "materials.diffuse", "materials.reflectivity",
+        "materials.roughness", "lights.intensity", "lights.position",
+    )
+    theta = P.extract(s, paths)
+    weight = jnp.linspace(0.5, 1.5, 256 * 3).reshape(256, 3)
+
+    def loss(th, o_):
+        sc = P.apply(s, th)
+        out = trace_wavefront(sc, o_, dd, tm, key, 1, differentiable=True)
+        return jnp.sum(out * weight)
+
+    os.environ["RTT_PALLAS_INTERPRET"] = "1"
+    try:
+        g_fused, go_fused = jax.grad(loss, argnums=(0, 1))(theta, o)
+    finally:
+        del os.environ["RTT_PALLAS_INTERPRET"]
+    os.environ["RTT_DISABLE_PALLAS"] = "1"
+    try:
+        g_gen, go_gen = jax.grad(loss, argnums=(0, 1))(theta, o)
+    finally:
+        del os.environ["RTT_DISABLE_PALLAS"]
+
+    for path in paths:
+        a = np.asarray(g_fused[path])
+        b = np.asarray(g_gen[path])
+        assert np.isfinite(a).all(), path
+        np.testing.assert_allclose(
+            a, b, rtol=2e-4, atol=2e-4 * max(1.0, np.abs(b).max()),
+            err_msg=path,
+        )
+    a, b = np.asarray(go_fused), np.asarray(go_gen)
+    assert np.isfinite(a).all()
+    np.testing.assert_allclose(
+        a, b, rtol=2e-4, atol=2e-4 * max(1.0, np.abs(b).max())
+    )
