@@ -48,6 +48,10 @@ def render_vs_golden(scene_name, golden_name, samples_sqrt, light_samples, key=0
     [
         ("det_basic", "det_basic_s1.ppm"),
         ("det_mirrors", "det_mirrors_s1.ppm"),
+        # TWO-WAY material (reflect AND refract on one hit) — the only
+        # scene class that takes the compacted-queue discipline; proves
+        # Code/raytracer.cpp:308-344 branching against the oracle.
+        ("det_twoway", "det_twoway_s1.ppm"),
         ("texture", "texture_s1.ppm"),
     ],
 )
@@ -74,6 +78,8 @@ def test_flagship_bvh_deterministic_parity():
     "scene,golden,s,ls",
     [
         ("softshadow", "softshadow_s4_l16.ppm", 4, 16),
+        # two-way branching under stratified multi-sample jitter
+        ("det_twoway", "det_twoway_s6.ppm", 6, 1),
         ("dof", "dof_s6.ppm", 6, 1),
         ("motion", "motion_s6.ppm", 6, 1),
         ("glossy", "glossy_s6.ppm", 6, 1),

@@ -48,6 +48,8 @@ DET_CASES = [
     ("det_basic", "det_basic_s1.ppm", 1, 1, False),
     ("det_basic", "det_basic_s1.ppm", 1, 1, True),
     ("det_mirrors", "det_mirrors_s1.ppm", 1, 1, False),
+    # two-way (mirror+glass on ONE material): compacted-queue discipline
+    ("det_twoway", "det_twoway_s1.ppm", 1, 1, False),
     ("texture", "texture_s1.ppm", 1, 1, False),
     ("texture", "texture_s1.ppm", 1, 1, True),
     ("bvh_det", "bvh_det_s1.ppm", 1, 1, False),
@@ -58,6 +60,7 @@ DET_CASES = [
 # different RNG streams; tolerance matches tests/test_parity_golden.py.
 STOCH_CASES = [
     ("softshadow", "softshadow_s4_l16.ppm", 4, 16, False),
+    ("det_twoway", "det_twoway_s6.ppm", 6, 1, False),
     ("dof", "dof_s6.ppm", 6, 1, False),
     ("motion", "motion_s6.ppm", 6, 1, False),
     ("glossy", "glossy_s6.ppm", 6, 1, False),
