@@ -419,7 +419,7 @@ def _wave_kernel(
             plz = olz + t_loc * dlz
             u = zero
             v = zero
-            has_s, has_c, has_r = uv_kinds
+            has_s, has_c, has_r, has_p = uv_kinds
             if has_s:
                 # Spherical UV needs atan2/arcsin (Code/shapes.cpp:257-259)
                 # — no Mosaic lowering on TPU, so sphere lanes emit the
@@ -471,6 +471,35 @@ def _wave_kernel(
                 sel = kindv == 2.0
                 u = jnp.where(sel, plx + 0.5, u)
                 v = jnp.where(sel, ply + 0.5, v)
+            if has_p:
+                # Legacy plane projective UV (Code/shapes.cpp:470-481):
+                # the swept "w2o" columns hold the 4 corners for planes;
+                # u/v project the WORLD hit point onto the c0->c1 and
+                # c0->c3 edges, clamped to [0,1].
+                eux = w2o[3] - w2o[0]
+                euy = w2o[4] - w2o[1]
+                euz = w2o[5] - w2o[2]
+                evx = w2o[9] - w2o[0]
+                evy = w2o[10] - w2o[1]
+                evz = w2o[11] - w2o[2]
+                hvx = px - w2o[0]
+                hvy = py - w2o[1]
+                hvz = pz - w2o[2]
+                eu2 = jnp.maximum(
+                    eux * eux + euy * euy + euz * euz, _TINY
+                )
+                ev2 = jnp.maximum(
+                    evx * evx + evy * evy + evz * evz, _TINY
+                )
+                u_p = jnp.clip(
+                    (hvx * eux + hvy * euy + hvz * euz) / eu2, 0.0, 1.0
+                )
+                v_p = jnp.clip(
+                    (hvx * evx + hvy * evy + hvz * evz) / ev2, 0.0, 1.0
+                )
+                sel = kindv == 3.0
+                u = jnp.where(sel, u_p, u)
+                v = jnp.where(sel, v_p, v)
             if not ktex:
                 out_ref[UV_BASE + 0, :] = u
                 out_ref[UV_BASE + 1, :] = v
@@ -746,14 +775,13 @@ def wave_supported(scene: Scene, light_samples: int = 1) -> bool:
         return False
     # Two-way materials (reflect AND refract) branch the ray tree — only
     # they break the in-slot queue; one-way refraction runs in-kernel.
-    if scene.has_two_way or scene.n_lights > 4:
+    # The light loop is unrolled per light (one in-kernel any-hit loop
+    # each); 8 keeps kernel size/compile time sane — beyond that the
+    # general path applies (throughput pinned by tools/bench_general.py).
+    if scene.has_two_way or scene.n_lights > 8:
         return False
-    if scene.has_textures:
-        if scene.tex_atlas is None:
-            return False
-        # Legacy-plane UV needs the corner table; not carried in-kernel.
-        if scene.n_planes > 0:
-            return False
+    if scene.has_textures and scene.tex_atlas is None:
+        return False
     # Cap the fuzz operand (3 rows per area-light shadow sample).
     n_area = sum(1 for a in scene.lights.is_area if a)
     if n_area and light_samples * n_area > 32:

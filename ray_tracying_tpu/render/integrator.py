@@ -330,7 +330,10 @@ def _trace_wave(
         tex_m = jnp.zeros((8, 128), jnp.bfloat16)
         twh = jnp.zeros((2, 1), jnp.float32)
     area = tuple(scene.lights.is_area)
-    uv_kinds = (scene.has_spheres, scene.has_cubes, scene.has_rects)
+    uv_kinds = (
+        scene.has_spheres, scene.has_cubes, scene.has_rects,
+        scene.n_planes > 0,
+    )
 
     qrows = jnp.concatenate(
         [
@@ -520,6 +523,7 @@ def trace_wavefront(
     shrink="auto",
     kernel_tex: bool | None = None,
     return_dropped: bool = False,
+    fused: bool | None = None,
 ) -> jnp.ndarray:
     """Trace R primary rays to completion.  Returns (R, 3) radiance, or
     (radiance, TraceStats) when return_stats — per-level live/hit/spawn/drop
@@ -600,7 +604,8 @@ def trace_wavefront(
     # light.  Inference-only; scenes outside its scope take the general
     # path below.
     if (
-        not use_bvh
+        fused is not False
+        and not use_bvh
         and not two_way
         and compact != "always"
         and segments <= 1

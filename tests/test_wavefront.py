@@ -412,3 +412,54 @@ def test_wave_no_reflection_single_level():
     finally:
         del os.environ["RTT_PALLAS_INTERPRET"]
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
+
+
+@needs_interpret
+def test_wave_textured_plane_and_many_lights():
+    """r5 cliff removal: textured LEGACY PLANES (projective UV from the
+    corner columns, in-kernel) and up to 8 lights are fused-path
+    eligible; the fused image must match the general path bit-for-near."""
+    from ray_tracying_tpu.kernels.wavefront import wave_supported
+
+    d = minimal_camera()
+    d["lights"] = [
+        {"location": [2.0 * i - 5, -1.0, 2.0 + 0.3 * i],
+         "color": [1, 1, 1], "intensity": 80.0 + 10 * i}
+        for i in range(6)
+    ]
+    d["cubes"] = [
+        {"translation": [0.5, 5, 0], "rotation": [0.2, 0.3, 0.1],
+         "material": {"diffuse_color": [0.9, 0.8, 0.7],
+                      "reflectivity": 0.3,
+                      "texture_file": "checker.jpg"}},
+    ]
+    d["planes"] = [
+        {"corners": [[-4.0, 8.0, -2.0], [4.0, 8.0, -2.0],
+                     [4.0, 8.0, 4.0], [-4.0, 8.0, 4.0]],
+         "material": {"diffuse_color": [0.8, 0.8, 0.8],
+                      "texture_file": "checker.jpg"}},
+    ]
+    import os as _os
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    s = load_scene_dict(
+        d, textures_dir=_os.path.join(repo, "golden", "Textures")
+    )
+    assert wave_supported(s)
+    assert s.has_textures and s.n_planes == 1 and s.n_lights == 6
+
+    rng = np.random.default_rng(5)
+    dirs = rng.normal(size=(512, 3)).astype(np.float32)
+    dirs[:, 1] = np.abs(dirs[:, 1]) + 0.3
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    o = jnp.zeros((512, 3))
+    dd = jnp.asarray(dirs)
+    tm = jnp.zeros(512)
+    key = jax.random.key(2)
+    ref = np.asarray(trace_wavefront(s, o, dd, tm, key, 1, fused=False))
+    os.environ["RTT_PALLAS_INTERPRET"] = "1"
+    try:
+        got = np.asarray(trace_wavefront(s, o, dd, tm, key, 1))
+    finally:
+        del os.environ["RTT_PALLAS_INTERPRET"]
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)

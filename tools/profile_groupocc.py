@@ -56,7 +56,8 @@ def main():
         tex_m = jnp.zeros((8, 128), jnp.bfloat16)
         twh = jnp.zeros((2, 1), jnp.float32)
     area = tuple(scene.lights.is_area)
-    uv_kinds = (scene.has_spheres, scene.has_cubes, scene.has_rects)
+    uv_kinds = (scene.has_spheres, scene.has_cubes, scene.has_rects,
+                scene.n_planes > 0)
     qrows = jnp.concatenate(
         [o.T, d.T, tm[None, :], jnp.ones((2, n), jnp.float32)], axis=0
     )

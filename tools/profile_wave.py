@@ -114,7 +114,8 @@ def main():
         tex_m = jnp.zeros((8, 128), jnp.bfloat16)
         twh = jnp.zeros((2, 1), jnp.float32)
     area = tuple(scene.lights.is_area)
-    uv_kinds = (scene.has_spheres, scene.has_cubes, scene.has_rects)
+    uv_kinds = (scene.has_spheres, scene.has_cubes, scene.has_rects,
+                scene.n_planes > 0)
 
     qrows = jnp.concatenate(
         [o.T, d.T, tm[None, :], jnp.ones((2, n), jnp.float32)], axis=0
@@ -167,7 +168,11 @@ def main():
         live = int(np.asarray(jnp.sum(prev[7] > 0)))
 
         t_wave = timed_chain(
-            lambda c: wave(c, fz),
+            lambda c: wave_level_call(
+                c, fz, table, lights, tex_m, twh, ranges, scene.has_motion,
+                n_l, scene.has_glossy, scene.has_refraction, 0.0, has_tex,
+                uv_kinds, area, args.light_samples, ktex,
+            ),
             lambda c, out: c + 0.0 * out,
             prev,
             args.chain,
