@@ -33,7 +33,19 @@ def extract(scene: Scene, paths: Iterable[str]) -> Dict[str, jnp.ndarray]:
 
 
 def apply(scene: Scene, params: Dict[str, jnp.ndarray]) -> Scene:
-    """Return a Scene with the given leaves replaced."""
+    """Return a Scene with the given leaves replaced.
+
+    The integrator's queue discipline is chosen STATICALLY from the
+    scene's routing flags (has_reflection / has_refraction / has_two_way,
+    computed at load time from reflectivity/transparency > 0).  Parameter
+    updates must not change that classification: e.g. optimizing
+    reflectivity above 0 on a transparent material would silently leave
+    the one-continuation-per-ray route in place and drop the reflection
+    branch and its gradients.  When the new values are concrete (eager /
+    outside jit) this is verified here; under jit the values are tracers
+    and the caller owns the invariant (keep a sign-preserving
+    parametrization, e.g. optimize through a scaled sigmoid that cannot
+    cross zero)."""
     # Group by top-level field.
     by_top: Dict[str, Dict[str, jnp.ndarray]] = {}
     direct: Dict[str, jnp.ndarray] = {}
@@ -49,4 +61,35 @@ def apply(scene: Scene, params: Dict[str, jnp.ndarray]) -> Scene:
     for top, subs in by_top.items():
         node = getattr(scene, top)
         updates[top] = node.replace(**subs)
-    return scene.replace(**updates)
+    new_scene = scene.replace(**updates)
+
+    mats = by_top.get("materials", {})
+    if ("reflectivity" in mats) or ("transparency" in mats):
+        import jax.core
+
+        refl = new_scene.materials.reflectivity
+        trans = new_scene.materials.transparency
+        concrete = not (
+            isinstance(refl, jax.core.Tracer)
+            or isinstance(trans, jax.core.Tracer)
+        )
+        if concrete:
+            flags = (
+                bool((refl > 0).any()),
+                bool((trans > 0).any()),
+                bool(((refl > 0) & (trans > 0)).any()),
+            )
+            old = (
+                scene.has_reflection,
+                scene.has_refraction,
+                scene.has_two_way,
+            )
+            if flags != old:
+                raise ValueError(
+                    "parameter update changes the scene's static ray-"
+                    f"routing classification {old} -> {flags} "
+                    "(reflection/refraction/two-way); reload the scene "
+                    "or keep reflectivity/transparency on the same side "
+                    "of zero (see diff.params.apply docstring)"
+                )
+    return new_scene

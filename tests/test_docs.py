@@ -34,9 +34,10 @@ def test_readme_headline_matches_latest_bench():
     m = re.search(r"\*\*Headline:\*\*\s+([\d.]+)M primary rays/s", readme)
     assert m, "README.md must state an 'N.NM primary rays/s' headline"
     claimed = float(m.group(1)) * 1e6
-    # +-20% tolerance: absorbs run-to-run bench variance without letting a
-    # real perf change (or regression) hide behind stale docs.
-    assert abs(claimed - value) <= 0.20 * value, (
+    # +-10% tolerance (tightened r5 after a one-round-stale headline
+    # slipped through the old +-20% band): absorbs run-to-run bench
+    # variance without letting a stale headline survive a round.
+    assert abs(claimed - value) <= 0.10 * value, (
         f"README headline {claimed:.3g} rays/s is stale vs {name} "
         f"({value:.3g} rays/s) — refresh README.md and BASELINE.md"
     )
@@ -49,7 +50,7 @@ def test_baseline_md_has_latest_bench_row():
     rows = re.findall(r"([\d.]+)M\s*\|\s*([\d.]+)x", base)
     assert rows, "BASELINE.md must tabulate measured rays/s rows"
     best = max(float(v) * 1e6 for v, _ in rows)
-    assert abs(best - value) <= 0.20 * value, (
+    assert abs(best - value) <= 0.10 * value, (
         f"BASELINE.md best row {best:.3g} rays/s is stale vs {name} "
         f"({value:.3g} rays/s) — add the current measurement"
     )

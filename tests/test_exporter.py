@@ -7,6 +7,8 @@ reference exporter's (Blend/exporter.py:12-179)."""
 import os
 import sys
 
+import pytest
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
 from blender_exporter import (  # noqa: E402
@@ -352,3 +354,66 @@ def test_exported_material_loads():
     s = load_scene_dict(d)
     assert s.n_geoms == 1
     assert abs(float(s.materials.reflectivity[0]) - 0.4) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Field-inventory differential vs the reference exporter's ACTUAL output
+# ---------------------------------------------------------------------------
+
+REFERENCE_SCENE_JSON = "/root/reference/ASCII/scene.json"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(REFERENCE_SCENE_JSON),
+    reason="reference checkout not mounted",
+)
+def test_exporter_field_inventory_matches_reference_output():
+    """Blender is unavailable in this environment, so end-to-end export
+    can't run — instead, pin the repo exporter's emitted KEY SETS against
+    the reference exporter's actual committed output
+    (/root/reference/ASCII/scene.json, written by Blend/exporter.py:
+    181-295).  Every entry constructor must produce exactly the keys the
+    reference writes, with the reference's unit conventions."""
+    import json as _json
+
+    ref = _json.load(open(REFERENCE_SCENE_JSON))
+
+    # camera entry: same keys as the reference's cameras[0]
+    gaze, up = (0.0, 1.0, 0.0), (0.0, 0.0, 1.0)
+    cam = camera_entry(CamObj({"aperture": 0.25}), gaze, up)
+    assert set(cam) == set(ref["cameras"][0]), (
+        set(cam) ^ set(ref["cameras"][0])
+    )
+
+    # light entry shape (reference lights[0]): the exporter builds it
+    # inline in export_scene; replicate the dict literal it writes.
+    light = {
+        "location": [0.0, 0.0, 3.0],
+        "color": [1.0, 1.0, 1.0],
+        "intensity": 1000.0,
+        "radius": 0.0,
+    }
+    assert set(light) == set(ref["lights"][0])
+
+    # cube / rectangle entries + their material blocks
+    cube = mesh_entry(Obj("Cube", (0.0, 0.0, 0.0)), "cubes")
+    assert set(cube) == set(ref["cubes"][0]), set(cube) ^ set(ref["cubes"][0])
+    rect = mesh_entry(Obj("Plane", (0.0, 0.0, 0.0)), "rectangles")
+    assert set(rect) == set(ref["rectangles"][0])
+    assert set(cube["material"]) == set(ref["cubes"][0]["material"]), (
+        set(cube["material"]) ^ set(ref["cubes"][0]["material"])
+    )
+
+    # sphere entry: the bundled scene has no spheres, so pin against the
+    # reference exporter's code inventory (Blend/exporter.py:186-203):
+    # location/rotation/scale/velocity/material, scale = dimensions/2.
+    sph = mesh_entry(Obj("Sphere", (0.0, 0.0, 0.0)), "spheres")
+    assert set(sph) == {"location", "rotation", "scale", "velocity",
+                       "material"}
+
+    # unit conventions the loader depends on
+    assert isinstance(ref["render"]["resolution_x"], int)
+    assert set(ref["render"]) == {"resolution_x", "resolution_y"}
+    # reference cameras carry aperture in lens-diameter units with 0 =
+    # pinhole; our camera_entry defaults identically
+    assert camera_entry(CamObj(), gaze, up)["aperture"] == 0.0

@@ -35,6 +35,12 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# Persistent compilation cache BEFORE the first backend touch: the suite
+# is compile-dominated (r4: 458 s for one case), and re-runs hit the
+# cache across processes (VERDICT r4 item 7).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
@@ -75,7 +81,10 @@ def run_det_case(rt, scene_name, golden, s, ls, use_bvh):
     opts = rt.RenderOptions(samples_sqrt=s, light_samples=ls, use_bvh=use_bvh)
     t0 = time.time()
     img = np.asarray(rt.render_to_srgb_u8(scene, opts, key=jax.random.key(0)))
-    dt = time.time() - t0
+    t_first = time.time() - t0
+    t0 = time.time()
+    img = np.asarray(rt.render_to_srgb_u8(scene, opts, key=jax.random.key(0)))
+    t_run = time.time() - t0
     gold = np.asarray(rt.read_ppm(os.path.join(GOLD, golden)))
     diff = np.abs(img.astype(int) - gold.astype(int))
     return {
@@ -86,7 +95,9 @@ def run_det_case(rt, scene_name, golden, s, ls, use_bvh):
         "frac_nonzero": float((diff > 0).mean()),
         "tol": 1,
         "pass": bool(diff.max() <= 1 and (diff > 0).mean() < 0.01),
-        "seconds": round(dt, 3),
+        "seconds": round(t_first, 3),
+        "run_seconds": round(t_run, 3),
+        "compile_seconds": round(max(t_first - t_run, 0.0), 3),
     }
 
 
@@ -97,7 +108,10 @@ def run_stoch_case(rt, scene_name, golden, s, ls, use_bvh):
     opts = rt.RenderOptions(samples_sqrt=s, light_samples=ls, use_bvh=use_bvh)
     t0 = time.time()
     img = np.asarray(rt.render_to_srgb_u8(scene, opts, key=jax.random.key(7)))
-    dt = time.time() - t0
+    t_first = time.time() - t0
+    t0 = time.time()
+    img = np.asarray(rt.render_to_srgb_u8(scene, opts, key=jax.random.key(7)))
+    t_run = time.time() - t0
     gold = np.asarray(rt.read_ppm(os.path.join(GOLD, golden)))
     diff = np.abs(img.astype(np.float32) - gold.astype(np.float32))
     mean = float(diff.mean())
@@ -110,7 +124,9 @@ def run_stoch_case(rt, scene_name, golden, s, ls, use_bvh):
         "p99_diff": round(p99, 2),
         "tol": "mean<1.0, p99<=8",
         "pass": bool(mean < 1.0 and p99 <= 8),
-        "seconds": round(dt, 3),
+        "seconds": round(t_first, 3),
+        "run_seconds": round(t_run, 3),
+        "compile_seconds": round(max(t_first - t_run, 0.0), 3),
     }
 
 
@@ -193,15 +209,20 @@ def run_sharded_case(rt):
     tm = jnp.zeros(o.shape[0], jnp.float32)
 
     mesh = make_mesh(1)
-    t0 = time.time()
-    sharded = np.asarray(
-        jax.block_until_ready(
-            trace_wavefront_sharded(scene, o, d, tm, key, 1, mesh)
+    f = jax.jit(
+        lambda o, d, tm: trace_wavefront_sharded(
+            scene, o, d, tm, key, 1, mesh
         )
     )
+    t0 = time.time()
+    sharded = np.asarray(jax.block_until_ready(f(o, d, tm)))
     dt = time.time() - t0
     base = np.asarray(
-        trace_wavefront(scene, o, d, tm, jax.random.fold_in(key, 0), 1)
+        jax.jit(
+            lambda o, d, tm: trace_wavefront(
+                scene, o, d, tm, jax.random.fold_in(key, 0), 1
+            )
+        )(o, d, tm)
     )
     max_abs = float(np.abs(sharded - base).max())
     return {
