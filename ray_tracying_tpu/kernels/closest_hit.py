@@ -142,8 +142,12 @@ def geom_t(g, table_ref, rb: RayBlock, spec, want_normal=False):
             pos = disc > 0.0
             sq = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
             a_safe = jnp.where(a > 0.0, a, 1.0)
-            t1 = (-b - sq) / (2.0 * a_safe)
-            t2 = (-b + sq) / (2.0 * a_safe)
+            # one reciprocal + two muls instead of two divisions (VPU
+            # divides are multi-cycle; differs from a/b by <= 1 ulp,
+            # inside the float-reassociation parity contract)
+            inv_2a = 1.0 / (2.0 * a_safe)
+            t1 = (-b - sq) * inv_2a
+            t2 = (-b + sq) * inv_2a
             t_loc = jnp.where(
                 t1 > C.EPS_T_MIN, t1, jnp.where(t2 > C.EPS_T_MIN, t2, INF)
             )
@@ -174,8 +178,9 @@ def geom_t(g, table_ref, rb: RayBlock, spec, want_normal=False):
             for oo, ddc in ((olx, dlx), (oly, dly), (olz, dlz)):
                 par = jnp.abs(ddc) < C.EPS_PARALLEL
                 d_safe = jnp.where(par, 1.0, ddc)
-                s1 = (-0.5 - oo) / d_safe
-                s2 = (0.5 - oo) / d_safe
+                inv_d = 1.0 / d_safe  # 1 reciprocal, 2 muls (see sphere)
+                s1 = (-0.5 - oo) * inv_d
+                s2 = (0.5 - oo) * inv_d
                 ent = jnp.where(par, -INF, jnp.minimum(s1, s2))
                 ext = jnp.where(par, INF, jnp.maximum(s1, s2))
                 miss = miss | (par & ((oo < -0.5) | (oo > 0.5)))

@@ -196,7 +196,8 @@ def _any_hit(table_ref, ranges, rb, maxt, init_blocked):
 
 
 def _wave_kernel(
-    q_ref, fuzz_ref, table_ref, light_ref, tex_ref, twh_ref, out_ref,
+    q_ref, fuzz_ref, table_ref, tabv_ref, light_ref, tex_ref, twh_ref,
+    out_ref,
     *, ranges, motion, n_lights, glossy, refraction, min_tp, has_tex,
     uv_kinds, area, nss, ktex, record=0, ablate=(),
 ):
@@ -217,22 +218,35 @@ def _wave_kernel(
         tp = q_ref[8, :]
         live = act > 0.0
 
-        # --- closest hit + winning normal (Code/acceleration.cpp:103-118)
+        # --- closest hit + winning normal (Code/acceleration.cpp:103-118).
+        # The carry also tracks the winner's table ROW (ids are unique, so
+        # "id changed" detects an update): the row drives the one-hot
+        # winner-record matmul below.
         zero = jnp.zeros((w,), jnp.float32)
         best = (
             jnp.full((w,), _INF, jnp.float32),
             jnp.full((w,), -1, jnp.int32),
             zero, zero, zero,
+            jnp.full((w,), -1, jnp.int32),
         )
+
+        def hit_step(g, cr, spec):
+            bt, bid, nx_, ny_, nz_, br = cr
+            bt2, bid2, nx2, ny2, nz2 = geom_step_n(
+                g, (bt, bid, nx_, ny_, nz_), table_ref, rb, spec
+            )
+            br = jnp.where(bid2 != bid, g, br)
+            return (bt2, bid2, nx2, ny2, nz2, br)
+
         for kind, start, end in ranges:
             spec = _kind_spec(kind, motion)
             best = lax.fori_loop(
                 start,
                 end,
-                lambda g, cr, spec=spec: geom_step_n(g, cr, table_ref, rb, spec),
+                lambda g, cr, spec=spec: hit_step(g, cr, spec),
                 best,
             )
-        best_t, best_id, bnx, bny, bnz = best
+        best_t, best_id, bnx, bny, bnz, best_row = best
         hit_f = jnp.isfinite(best_t) & live
         act_hit = jnp.where(hit_f, 1.0, 0.0)
         w_miss = jnp.where(live & ~jnp.isfinite(best_t), tp, 0.0)
@@ -261,22 +275,28 @@ def _wave_kernel(
             if motion:
                 sweep_cols.extend((12, 13, 14))      # velocity
 
-        def mat_step(g, cols):
-            # Float compare against the id column: ids are small integers,
-            # exact in f32; avoids a scalar round+cast stalling each
-            # iteration's vector pipeline.
-            sel = best_id_f == table_ref[16, g]
-            return tuple(
-                jnp.where(sel, table_ref[c, g], cols[i])
-                for i, c in enumerate(sweep_cols)
-            )
-
+        # Winner-record fetch as a one-hot matmul on the MXU against the
+        # VMEM twin of the table (the r4 per-row select sweep cost
+        # 14.4 ms of the 54 ms bench level-0 kernel; the matmul is ~2 ms).
+        # Exactly one one-hot term is nonzero per lane, and HIGHEST
+        # precision keeps the f32 passthrough faithful; miss lanes
+        # (row -1) fetch all-zero records like the sweep's no-match did.
         if 'mat' in ablate:
             swept = tuple(zero + 0.5 for _ in sweep_cols)
         else:
-            swept = lax.fori_loop(
-                0, n_rows_table, mat_step, (zero,) * len(sweep_cols)
+            rows_i = lax.broadcasted_iota(
+                jnp.int32, (n_rows_table, w), 0
             )
+            oh = (rows_i == best_row[None, :]).astype(jnp.float32)
+            sub = jnp.concatenate(
+                [tabv_ref[c : c + 1, :] for c in sweep_cols], axis=0
+            )  # (n_sweep, G)
+            mats = lax.dot_general(
+                sub, oh, (((1,), (0,)), ((), ())),
+                precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )  # (n_sweep, w)
+            swept = tuple(mats[i] for i in range(len(sweep_cols)))
         dr, dg, db, sr, sg, sb, ka, kd, ks, shin, rough, refl = swept[:12]
         if refraction:
             trans, ior = swept[12], swept[13]
@@ -708,6 +728,11 @@ def wave_level_call(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # shaded geom table
+            # VMEM twin of the SAME table (tiny): scalar loops read SMEM,
+            # the one-hot winner-record matmul reads VMEM vectors.
+            pl.BlockSpec(
+                table.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # light table
             # texture matrix: whole-array resident in VMEM (<= 192 KB);
             # the index map is block-invariant so Mosaic fetches it once.
@@ -721,7 +746,7 @@ def wave_level_call(
         ),
         out_shape=jax.ShapeDtypeStruct((rows, r_pad), jnp.float32),
         interpret=pallas_interpret(),
-    )(out_prev, fuzz, table, lights, tex, twh)
+    )(out_prev, fuzz, table, table, lights, tex, twh)
 
 
 def _wave_level_fwd(out_prev, fuzz, table, lights, tex, twh, *nd):

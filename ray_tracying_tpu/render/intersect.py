@@ -42,10 +42,32 @@ from ray_tracying_tpu.scene.types import KIND_CUBE, KIND_RECT, KIND_SPHERE, Scen
 _INF = float("inf")
 
 
+import contextlib
+import contextvars
+
+_NO_PALLAS = contextvars.ContextVar("rtt_no_pallas", default=False)
+
+
+@contextlib.contextmanager
+def pallas_disabled():
+    """Context-locally route every trace through the jnp oracle path
+    (identical semantics).  Preferred over mutating RTT_DISABLE_PALLAS:
+    a context variable cannot leak into concurrent work in the same
+    process (e.g. dryrun_multichip tracing for a CPU mesh while the
+    interpret-mode suite runs — VERDICT r4 weak item 6)."""
+    tok = _NO_PALLAS.set(True)
+    try:
+        yield
+    finally:
+        _NO_PALLAS.reset(tok)
+
+
 def _use_pallas() -> bool:
     """Pallas kernels need a real TPU backend (the jnp path is the
     fallback and the semantics oracle on CPU).  RTT_PALLAS_INTERPRET=1
     forces the kernels on in interpreter mode for CPU testing."""
+    if _NO_PALLAS.get():
+        return False
     if os.environ.get("RTT_DISABLE_PALLAS"):
         return False
     if os.environ.get("RTT_PALLAS_INTERPRET") == "1":

@@ -62,15 +62,14 @@ def main():
         return timeit(f, o, d, tm)
 
     print(f"{n} rays/tile")
-    base = None
     for depth, shrink, label in [
         (0, (), "L0 only"),
         (1, (), "L0-1"),
-        (1, ((1, 8),), "L0-1 + shrink@1/8 (sort cost probe)"),
-        (3, ((2, 8),), "L0-3, shrink (2,8)"),
-        (10, ((2, 8), (4, 2)), "full shipped"),
-        (10, ((2, 8),), "full, single shrink (2,8)"),
-        (10, ((2, 8), (4, 2), (6, 2)), "full, +(6,2)"),
+        (10, ((2, 4), (4, 2)), "full shipped ((2,4),(4,2))"),
+        (10, ((1, 2), (2, 2), (4, 2)), "((1,2),(2,2),(4,2))"),
+        (10, ((1, 2), (2, 4), (4, 2)), "((1,2),(2,4),(4,2))"),
+        (10, ((2, 4), (4, 4)), "((2,4),(4,4))"),
+        (10, ((2, 4), (4, 2), (6, 2)), "((2,4),(4,2),(6,2))"),
         (10, (), "full unshrunk"),
     ]:
         ms = run(depth, shrink)
