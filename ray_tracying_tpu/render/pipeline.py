@@ -32,7 +32,11 @@ class RenderOptions:
     samples_sqrt: int = 4      # -s     (n x n stratified samples per pixel)
     light_samples: int = 1     # -light_sample
     use_bvh: bool = False      # -bvh   (identical hit set either way)
-    max_rays_per_pass: int = 1 << 22
+    # Rays per device pass.  8.4M-lane tiles measured fastest on v5e for
+    # the flagship (30.4M rays/s vs 28.0M at 4.2M lanes: fewer per-tile
+    # dispatch/sync round-trips through the host); HBM comfortably holds
+    # the ~24-row level tensors at this width.
+    max_rays_per_pass: int = 1 << 23
     queue_mult: int = 2        # queue growth headroom for mirror+glass scenes
     # Kill continuation rays at throughput <= this.  0.0 = exact reference
     # semantics; positive values trade bounded uint8 error for speed (see
