@@ -463,3 +463,26 @@ def test_wave_textured_plane_and_many_lights():
     finally:
         del os.environ["RTT_PALLAS_INTERPRET"]
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
+
+
+@needs_interpret
+def test_wave_return_dropped_scalar():
+    """return_dropped surfaces the shrink-overflow count as a scalar with
+    the radiance (the render pipeline fetches it per tile and warns from
+    the host — device-side debug callbacks don't exist on every backend)."""
+    s = wave_scene(roughness=0.0)
+    o, d, tm = cam_rays(n=8192, seed=31)
+    key = jax.random.key(4)
+    os.environ["RTT_PALLAS_INTERPRET"] = "1"
+    try:
+        out, dropped = trace_wavefront(
+            s, o, d, tm, key, 1, shrink=((1, 4),), return_dropped=True
+        )
+        out2, none_dropped = trace_wavefront(
+            s, o, d, tm, key, 1, shrink=(), return_dropped=True
+        )
+    finally:
+        del os.environ["RTT_PALLAS_INTERPRET"]
+    assert out.shape == (8192, 3)
+    assert int(dropped) > 0       # scattered-live scene overflows 1/4 cap
+    assert int(none_dropped) == 0  # lossless when unshrunk
