@@ -16,27 +16,40 @@ Dataflow (all row-major (rows, R) f32, WAVE_BLOCK-columned):
 
   queue pack     rows 0..8   [ox oy oz dx dy dz time act tp]
   level output   rows 0..8   next queue pack (same layout)
-                 rows 9..11  contribution (tp-weighted, visibility
-                             applied): the FINAL level radiance for
-                             untextured scenes; the texture-pending
-                             diffuse part D for textured scenes
-                 rows 12..14 (textured only) S: specular + miss-
+                 rows 9..11  contribution (tp-weighted, visibility and —
+                             in-kernel-texture scenes — the texel already
+                             applied): the FINAL level radiance; for
+                             GLUE-textured scenes (textured spheres,
+                             oversize atlases) the texture-pending
+                             diffuse part D instead
+                 rows 12..14 (glue-textured only) S: specular + miss-
                              background part (not modulated by texture)
-                 rows 15..17 (textured only) u, v, texture slot (-1 none)
-                 last row    act_hit (stats)
+                 rows 15..17 (glue-textured only) u, v, tex slot (-1 none)
+                 rows 18..19 (glue-textured spheres) local hit pt z, kind
+                 next row    act_hit (stats)
+                 + record  (differentiable mode) winner id, per-light
+                             visibility, texel rgb — replayed by the
+                             custom VJP through kernels/wave_ref.py
 
 The next level's megakernel reads the previous output tensor directly at
 row-block 0 — zero repacking between levels.  The jnp glue per level is
-`accum += out[9:12]` (untextured) or `accum += out[9:12] * tex(u,v,slot)
-+ out[12:15]` (textured; the atlas gather runs in XLA where gathers are
-fast — Mosaic has no efficient per-lane VMEM gather).
+`accum += out[9:12]` plus, for glue-textured scenes only, the XLA atlas
+gather in _wave_tex_modulate.
+
+Lookups ride the MXU as one-hot matmuls, never per-lane gathers (Mosaic
+has none; an XLA-side gather measured 26.5 ms per 4.2M-lane level):
+texels via a VMEM-resident u8-exact bf16 texture matrix
+(tex_kernel_supported / pack_tex_matrix) and the winner's
+material+transform record via a HIGHEST-precision f32 dot against the
+VMEM twin of the geom table, keyed on the winner ROW carried through the
+closest-hit loop.
 
 Scope (wave_supported gates; everything else takes the general path):
 no TWO-WAY materials (a single material that both reflects and refracts
 branches the ray tree; one-way refraction spawns in-kernel since r4),
-<= 4 lights, scene table fits SMEM, textured scenes must
-carry an atlas and have no textured legacy planes (plane UV needs the
-corner table; transformed prims' UVs are reconstructed in-kernel).
+<= 8 lights (the per-light any-hit loops unroll), scene table fits SMEM,
+textured scenes must carry an atlas.  All four geometry kinds including
+textured legacy planes (projective quad UV from the corner columns).
 Semantics are the reference's, cited inline; glossy fuzz and area-light
 shadow jitter are sampled OUTSIDE the kernel with jax.random (XLA's
 transcendentals are ~50x faster than Mosaic's; measured 58 ms vs ~1 ms
