@@ -231,3 +231,33 @@ def test_fused_diff_matches_general_grads():
     np.testing.assert_allclose(
         a, b, rtol=2e-4, atol=2e-4 * max(1.0, np.abs(b).max())
     )
+
+
+def test_tiled_grad_matches_whole_frame():
+    """mse_loss_and_grad_tiled (gradient accumulation over row tiles —
+    how high-spp frames fit HBM) must equal the whole-frame gradient on a
+    deterministic scene."""
+    from ray_tracying_tpu.diff.render import mse_loss_and_grad_tiled
+
+    scene = tiny_scene(res=(24, 16))
+    target = jnp.full((16, 24, 3), 0.2, jnp.float32)
+    theta = P.extract(
+        scene, ["materials.diffuse", "lights.intensity", "camera.location"]
+    )
+
+    def whole(th):
+        return mse_loss(P.apply(scene, th), target, KEY, OPTS)
+
+    l_ref, g_ref = jax.value_and_grad(whole)(theta)
+
+    # 6-row tiles -> 3 tiles, last one clamped+masked (16 = 6+6+4)
+    opts = RenderOptions(
+        samples_sqrt=1, light_samples=1, max_rays_per_pass=24 * 6
+    )
+    l_t, g_t = mse_loss_and_grad_tiled(scene, theta, target, KEY, opts)
+    np.testing.assert_allclose(float(l_t), float(l_ref), rtol=1e-5)
+    for k in theta:
+        np.testing.assert_allclose(
+            np.asarray(g_t[k]), np.asarray(g_ref[k]), rtol=2e-4,
+            atol=1e-6, err_msg=k,
+        )

@@ -62,6 +62,12 @@ def main():
     )
     ap.add_argument("--spp-sqrt", type=int, default=1)
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--tiled", action="store_true",
+        help="gradient accumulation over row tiles (mse_loss_and_grad_"
+             "tiled): required beyond ~4 spp — whole-frame AD residuals "
+             "at 16 spp need 38.5 GB vs the chip's 15.75 GB",
+    )
     args = ap.parse_args()
 
     scene = rt.load_scene(
@@ -79,14 +85,29 @@ def main():
     def loss(th):
         return mse_loss(P.apply(scene, th), target, key, opts)
 
-    fwd = jax.jit(lambda th: loss(th))
-    fwdbwd = jax.jit(lambda th: jax.value_and_grad(loss)(th))
+    if args.tiled:
+        from ray_tracying_tpu.diff.render import mse_loss_and_grad_tiled
+        from ray_tracying_tpu.render.pipeline import render_image
 
-    t_fwd = timeit(lambda: fwd(theta))
-    t_fb = timeit(lambda: fwdbwd(theta))
+        def fwd():
+            img = render_image(P.apply(scene, theta), opts, key=key)
+            return jnp.mean((jnp.asarray(img) - target) ** 2)
 
-    # Sanity: gradients must be finite and not identically zero.
-    _, grads = jax.block_until_ready(fwdbwd(theta))
+        def fwdbwd():
+            return mse_loss_and_grad_tiled(scene, theta, target, key, opts)
+
+        t_fwd = timeit(fwd)
+        t_fb = timeit(fwdbwd)
+        _, grads = jax.block_until_ready(fwdbwd())
+    else:
+        fwd = jax.jit(lambda th: loss(th))
+        fwdbwd = jax.jit(lambda th: jax.value_and_grad(loss)(th))
+
+        t_fwd = timeit(lambda: fwd(theta))
+        t_fb = timeit(lambda: fwdbwd(theta))
+
+        # Sanity: gradients must be finite and not identically zero.
+        _, grads = jax.block_until_ready(fwdbwd(theta))
     flat = jax.tree.leaves(grads)
     assert all(np.isfinite(np.asarray(g)).all() for g in flat)
     assert any(float(jnp.abs(g).max()) > 0 for g in flat)
@@ -95,6 +116,7 @@ def main():
         "scene": os.path.basename(args.scene),
         "resolution": [w, h],
         "spp": spp,
+        "tiled": bool(args.tiled),
         "primary_rays": n_rays,
         "param_paths": list(PARAM_PATHS),
         "backend": jax.devices()[0].platform,
