@@ -28,6 +28,7 @@ def fit(
     resample_noise: bool = True,
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 25,
+    tiled: bool = False,
 ) -> Tuple[Scene, Dict[str, jnp.ndarray], list]:
     """Adam-optimize the given scene leaves against the target.
 
@@ -36,6 +37,11 @@ def fit(
     checkpoint_dir: if set, saves {theta, opt_state} every
     checkpoint_every steps via orbax and RESUMES from the latest
     checkpoint found there (diff/checkpoint.py).
+    tiled: accumulate gradients over row tiles (bounded by
+    opts.max_rays_per_pass) instead of differentiating the whole frame in
+    one trace — required when frame_rays x bounce levels of AD residuals
+    exceed HBM (e.g. the flagship at 16 spp needs 38.5 GB untiled); same
+    gradients to float tolerance.
     Returns (fitted scene, fitted params, loss history).
     """
     opts = opts or RenderOptions(samples_sqrt=1, light_samples=1)
@@ -53,15 +59,30 @@ def fit(
         if restored is not None:
             start, theta, opt_state = restored
 
-    @jax.jit
-    def step(theta, opt_state, k):
-        def loss_fn(th):
-            return mse_loss(P.apply(scene, th), target_linear, k, opts)
+    if tiled:
+        from ray_tracying_tpu.diff.render import mse_loss_and_grad_tiled
 
-        loss, grads = jax.value_and_grad(loss_fn)(theta)
-        updates, opt_state = opt.update(grads, opt_state)
-        theta = optax.apply_updates(theta, updates)
-        return theta, opt_state, loss
+        @jax.jit
+        def apply_update(theta, opt_state, grads):
+            updates, opt_state = opt.update(grads, opt_state)
+            return optax.apply_updates(theta, updates), opt_state
+
+        def step(theta, opt_state, k):
+            loss, grads = mse_loss_and_grad_tiled(
+                scene, theta, target_linear, k, opts
+            )
+            theta, opt_state = apply_update(theta, opt_state, grads)
+            return theta, opt_state, loss
+    else:
+        @jax.jit
+        def step(theta, opt_state, k):
+            def loss_fn(th):
+                return mse_loss(P.apply(scene, th), target_linear, k, opts)
+
+            loss, grads = jax.value_and_grad(loss_fn)(theta)
+            updates, opt_state = opt.update(grads, opt_state)
+            theta = optax.apply_updates(theta, updates)
+            return theta, opt_state, loss
 
     history = []
     for i in range(start, steps):

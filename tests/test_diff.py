@@ -261,3 +261,27 @@ def test_tiled_grad_matches_whole_frame():
             np.asarray(g_t[k]), np.asarray(g_ref[k]), rtol=2e-4,
             atol=1e-6, err_msg=k,
         )
+
+
+def test_fit_tiled_converges():
+    """fit(tiled=True) optimizes through tiled gradient accumulation to
+    the same solution as the whole-frame path."""
+    scene_true = tiny_scene()
+    target = render_linear(scene_true, KEY, OPTS)
+    wrong = scene_true.materials.diffuse.at[0].set(
+        jnp.asarray([0.2, 0.7, 0.7])
+    )
+    scene0 = scene_true.replace(
+        materials=scene_true.materials.replace(diffuse=wrong)
+    )
+    opts = RenderOptions(
+        samples_sqrt=1, light_samples=1, max_rays_per_pass=24 * 6
+    )
+    _, theta, hist = fit(
+        scene0, target, ["materials.diffuse"], steps=60,
+        learning_rate=5e-2, opts=opts, key=KEY, resample_noise=False,
+        tiled=True,
+    )
+    assert hist[-1] < hist[0] * 0.05, f"loss did not converge: {hist[::10]}"
+    got = np.asarray(theta["materials.diffuse"][0])
+    np.testing.assert_allclose(got, [0.8, 0.3, 0.2], atol=0.07)
