@@ -103,6 +103,57 @@ def mse_loss_and_grad_tiled(
     return loss, grads
 
 
+def mse_loss_tiled(
+    scene: Scene,
+    theta,
+    target_linear: jnp.ndarray,
+    key: jax.Array,
+    opts: Optional[RenderOptions] = None,
+):
+    """Forward-only counterpart of mse_loss_and_grad_tiled: per-tile loss
+    terms computed on device (only scalars cross the host link)."""
+    opts = opts or RenderOptions()
+    width, height = scene.camera.resolution
+    spp = opts.samples_sqrt ** 2 if opts.samples_sqrt > 1 else 1
+    rows = max(1, min(height, opts.max_rays_per_pass // max(1, width * spp)))
+    n_px = float(height * width * 3)
+    loss = None
+    y0 = 0
+    tile_idx = 0
+    while y0 < height:
+        take = min(rows, height - y0)
+        start = min(y0, height - rows)
+        k_tile = jax.random.fold_in(key, tile_idx)
+        l = _tile_loss(
+            scene, theta, target_linear, start, y0 - start, take, k_tile,
+            n_px, rows, width, opts.samples_sqrt, opts.light_samples,
+            opts.queue_mult, opts.use_bvh, opts.min_throughput,
+        )
+        loss = l if loss is None else loss + l
+        y0 += take
+        tile_idx += 1
+    return loss
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "rows", "width", "samples_sqrt", "light_samples", "queue_mult",
+        "use_bvh", "min_throughput",
+    ),
+)
+def _tile_loss(
+    scene, theta, target_linear, start, offset, take, k_tile, n_px,
+    rows, width, samples_sqrt, light_samples, queue_mult, use_bvh,
+    min_throughput,
+):
+    return _tile_term(
+        scene, theta, target_linear, start, offset, take, k_tile, n_px,
+        rows, width, samples_sqrt, light_samples, queue_mult, use_bvh,
+        min_throughput,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -115,31 +166,45 @@ def _tile_loss_grad(
     rows, width, samples_sqrt, light_samples, queue_mult, use_bvh,
     min_throughput,
 ):
-    """(loss, d loss/d theta) over image rows [start+offset,
-    start+offset+take) of the fixed-size tile rendered at `start` (the
-    last tile clamps start to height-rows and masks the re-rendered
-    overlap rows out of the loss).  Module-level jit: one compile serves
-    every tile and every optimization step."""
-    from ray_tracying_tpu.diff import params as P
+    """(loss, d loss/d theta) for one tile term (see _tile_term).
+    Module-level jit: one compile serves every tile and every
+    optimization step."""
 
     def term(th):
-        sc = P.apply(scene, th)
-        tile, _ = _render_tile(
-            sc,
-            jnp.asarray(start, jnp.float32),
-            k_tile,
-            rows,
-            width,
-            samples_sqrt,
-            light_samples,
-            queue_mult,
-            use_bvh,
+        return _tile_term(
+            scene, th, target_linear, start, offset, take, k_tile, n_px,
+            rows, width, samples_sqrt, light_samples, queue_mult, use_bvh,
             min_throughput,
-            differentiable=True,
         )
-        tgt = jax.lax.dynamic_slice_in_dim(target_linear, start, rows, axis=0)
-        ridx = jnp.arange(rows)
-        live = ((ridx >= offset) & (ridx < offset + take))[:, None, None]
-        return jnp.sum(jnp.where(live, (tile - tgt) ** 2, 0.0)) / n_px
 
     return jax.value_and_grad(term)(theta)
+
+
+def _tile_term(
+    scene, theta, target_linear, start, offset, take, k_tile, n_px,
+    rows, width, samples_sqrt, light_samples, queue_mult, use_bvh,
+    min_throughput,
+):
+    """MSE term over image rows [start+offset, start+offset+take) of the
+    fixed-size tile rendered at `start` (the last tile clamps start to
+    height-rows and masks the re-rendered overlap rows out)."""
+    from ray_tracying_tpu.diff import params as P
+
+    sc = P.apply(scene, theta)
+    tile, _ = _render_tile(
+        sc,
+        jnp.asarray(start, jnp.float32),
+        k_tile,
+        rows,
+        width,
+        samples_sqrt,
+        light_samples,
+        queue_mult,
+        use_bvh,
+        min_throughput,
+        differentiable=True,
+    )
+    tgt = jax.lax.dynamic_slice_in_dim(target_linear, start, rows, axis=0)
+    ridx = jnp.arange(rows)
+    live = ((ridx >= offset) & (ridx < offset + take))[:, None, None]
+    return jnp.sum(jnp.where(live, (tile - tgt) ** 2, 0.0)) / n_px

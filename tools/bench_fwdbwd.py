@@ -86,19 +86,27 @@ def main():
         return mse_loss(P.apply(scene, th), target, key, opts)
 
     if args.tiled:
-        from ray_tracying_tpu.diff.render import mse_loss_and_grad_tiled
-        from ray_tracying_tpu.render.pipeline import render_image
+        from ray_tracying_tpu.diff.render import (
+            mse_loss_and_grad_tiled,
+            mse_loss_tiled,
+        )
 
+        # float()/np.asarray force the values ACROSS the host link:
+        # block_until_ready can return early through the axon tunnel and
+        # time nothing (BASELINE.md timing note).
         def fwd():
-            img = render_image(P.apply(scene, theta), opts, key=key)
-            return jnp.mean((jnp.asarray(img) - target) ** 2)
+            return float(mse_loss_tiled(scene, theta, target, key, opts))
 
         def fwdbwd():
-            return mse_loss_and_grad_tiled(scene, theta, target, key, opts)
+            loss, grads = mse_loss_and_grad_tiled(
+                scene, theta, target, key, opts
+            )
+            jax.tree.map(np.asarray, grads)
+            return loss, grads
 
         t_fwd = timeit(fwd)
         t_fb = timeit(fwdbwd)
-        _, grads = jax.block_until_ready(fwdbwd())
+        _, grads = fwdbwd()
     else:
         fwd = jax.jit(lambda th: loss(th))
         fwdbwd = jax.jit(lambda th: jax.value_and_grad(loss)(th))
