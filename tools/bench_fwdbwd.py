@@ -101,21 +101,35 @@ def main():
             loss, grads = mse_loss_and_grad_tiled(
                 scene, theta, target, key, opts
             )
-            jax.tree.map(np.asarray, grads)
+            # one host read waits for the whole program (outputs
+            # materialize together); per-leaf transfers would add a
+            # link round-trip each
+            float(loss)
             return loss, grads
 
         t_fwd = timeit(fwd)
         t_fb = timeit(fwdbwd)
         _, grads = fwdbwd()
     else:
-        fwd = jax.jit(lambda th: loss(th))
-        fwdbwd = jax.jit(lambda th: jax.value_and_grad(loss)(th))
+        fwd_j = jax.jit(lambda th: loss(th))
+        fwdbwd_j = jax.jit(lambda th: jax.value_and_grad(loss)(th))
 
-        t_fwd = timeit(lambda: fwd(theta))
-        t_fb = timeit(lambda: fwdbwd(theta))
+        # float()/np.asarray force the result across the host link (see
+        # the tiled branch: block_until_ready can return early through
+        # the axon tunnel).
+        def fwd():
+            return float(fwd_j(theta))
+
+        def fwdbwd():
+            l, g = fwdbwd_j(theta)
+            float(l)  # one host read waits for the whole program
+            return l, g
+
+        t_fwd = timeit(fwd)
+        t_fb = timeit(fwdbwd)
 
         # Sanity: gradients must be finite and not identically zero.
-        _, grads = jax.block_until_ready(fwdbwd(theta))
+        _, grads = fwdbwd()
     flat = jax.tree.leaves(grads)
     assert all(np.isfinite(np.asarray(g)).all() for g in flat)
     assert any(float(jnp.abs(g).max()) > 0 for g in flat)
